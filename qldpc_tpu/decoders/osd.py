@@ -1,0 +1,244 @@
+"""Ordered-statistics decoding (OSD-0 / OSD-e) on TPU.
+
+Functional parity targets (reference: decoding/OSD.py:3-72 for OSD-0;
+decoding/OSD_enhanced.py:5-224 for the order-w combination search). Semantics
+replicated exactly:
+
+  * columns sorted by ascending |LLR| (stable), residual syndrome solved by
+    full GF(2) row reduction with first-hit pivoting;
+  * pivot bits back-substituted, correction un-permuted and XORed into the
+    BP hard decision (OSD.py:20-26);
+  * OSD-e: if the OSD-0 solution reproduces the syndrome it is returned
+    untouched (OSD_enhanced.py:59); otherwise flip patterns of weight <= order
+    over the ``order + 10`` least-reliable non-pivot columns are scored by
+    LLR cost with invalid-syndrome penalty and the first minimum wins
+    (OSD_enhanced.py:89-129). Two structural facts make this map cleanly to
+    TPU: the system H e = resid is consistent iff the zero rows of the RREF
+    carry zero syndrome (pattern-independent), and for inconsistent systems
+    the violated-check penalty is identical for every pattern — so the search
+    collapses to a stable argmin over per-pattern LLR costs, with the
+    zero pattern (OSD-0) listed first so ties resolve exactly like the
+    reference's strict-improvement rule.
+
+TPU-first design: the elimination runs over *bit-packed* rows (uint32 lanes,
+32 columns per word) with a fixed trip count of n column steps, masked
+conditional pivoting/elimination (no data-dependent control flow), natively
+vmapped over the sample batch. The combination search is a single
+(patterns x test-columns) GF(2) matmul + argmin instead of a sequential loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from itertools import combinations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["OSDConfig", "OSDDecoder", "make_flip_patterns"]
+
+_WORD = 32
+
+
+def make_flip_patterns(
+    num_positions: int, order: int, max_combinations: int | None = None
+) -> np.ndarray:
+    """Static (C, num_positions) 0/1 pattern matrix; row 0 is the zero pattern.
+
+    Rows follow the reference's enumeration order — weight w = 1..order, each
+    weight in lexicographic combination order (OSD_enhanced.py:89-94) — so
+    truncation by ``max_combinations`` and first-minimum tie-breaking agree.
+    """
+    rows = [np.zeros(num_positions, dtype=np.uint8)]
+    budget = np.inf if max_combinations is None else max_combinations
+    count = 0
+    for w in range(1, min(order, num_positions) + 1):
+        for combo in combinations(range(num_positions), w):
+            if count >= budget:
+                break
+            row = np.zeros(num_positions, dtype=np.uint8)
+            row[list(combo)] = 1
+            rows.append(row)
+            count += 1
+        if count >= budget:
+            break
+    return np.stack(rows)
+
+
+@dataclasses.dataclass(frozen=True)
+class OSDConfig:
+    order: int = 0
+    max_combinations: int | None = None
+    extra_positions: int = 10  # test set size = order + extra_positions
+    dtype: str = "float32"
+
+
+class OSDDecoder:
+    """Jitted batched OSD post-processor for a fixed parity-check matrix.
+
+    Usage::
+
+        osd = OSDDecoder(H, OSDConfig(order=7))
+        solutions = osd(syndromes, llrs, hard)   # all batched (B, ...)
+    """
+
+    def __init__(self, H: np.ndarray, config: OSDConfig = OSDConfig()):
+        self.config = config
+        H = (np.asarray(H) % 2).astype(np.uint8)
+        self.m, self.n = H.shape
+        self.n_words = -(-self.n // _WORD)
+        self._H = jnp.asarray(H)
+        self._Hf = jnp.asarray(H, jnp.float32)  # for MXU residual matmul
+        if config.order > 0:
+            t = min(config.order + config.extra_positions, self.n)
+            self.num_test = t
+            self._patterns = jnp.asarray(
+                make_flip_patterns(t, config.order, config.max_combinations),
+                jnp.float32,
+            )
+        else:
+            self.num_test = 0
+            self._patterns = None
+        self._decode = jax.jit(jax.vmap(self._osd_single))
+
+    # ---- bit packing --------------------------------------------------------
+    def _pack_rows(self, bits: jax.Array) -> jax.Array:
+        """(m, n) 0/1 -> (m, n_words) uint32, column j at word j//32 bit j%32."""
+        pad = self.n_words * _WORD - self.n
+        bits = jnp.pad(bits.astype(jnp.uint32), ((0, 0), (0, pad)))
+        bits = bits.reshape(self.m, self.n_words, _WORD)
+        shifts = jnp.arange(_WORD, dtype=jnp.uint32)
+        return jnp.sum(bits << shifts, axis=-1).astype(jnp.uint32)
+
+    @staticmethod
+    def _extract_col(A: jax.Array, col: jax.Array) -> jax.Array:
+        """Bit `col` of every (packed) row -> (m,) uint32 in {0, 1}."""
+        word = col // _WORD
+        bit = (col % _WORD).astype(jnp.uint32)
+        return (jax.lax.dynamic_index_in_dim(A, word, axis=1, keepdims=False) >> bit) & 1
+
+    # ---- core ---------------------------------------------------------------
+    def _eliminate(self, A: jax.Array, b: jax.Array):
+        """Masked full GF(2) row reduction of packed system [A | b].
+
+        Fixed trip count of n column steps; per step: first-hit pivot pick via
+        argmax over rows >= rank, masked one-hot row swap, masked XOR
+        elimination of every other row holding the pivot bit.
+        Returns (A_rref, b_rref, pivot_col_of_row [-1 if none]).
+        """
+        m = self.m
+        row_ids = jnp.arange(m)
+
+        def step(col, state):
+            A, b, rank, piv_col = state
+            bits = self._extract_col(A, col)
+            cand = (bits == 1) & (row_ids >= rank)
+            has = jnp.any(cand)
+            p = jnp.argmax(cand)  # first eligible row holding the bit
+
+            # swap rows `rank` <-> `p` (no-op unless a pivot was found)
+            row_r = A[rank]
+            row_p = A[p]
+            is_r = row_ids == rank
+            is_p = row_ids == p
+            A = jnp.where(has & is_p[:, None], row_r[None, :], A)
+            A = jnp.where(has & is_r[:, None], row_p[None, :], A)
+            b_r, b_p = b[rank], b[p]
+            b = jnp.where(has & is_p, b_r, b)
+            b = jnp.where(has & is_r, b_p, b)
+
+            # eliminate the pivot bit from every other row
+            bits = self._extract_col(A, col)
+            elim = has & (bits == 1) & (row_ids != rank)
+            piv_row = A[rank]
+            piv_b = b[rank]
+            A = A ^ (elim[:, None].astype(jnp.uint32) * piv_row[None, :])
+            b = b ^ (elim.astype(b.dtype) * piv_b)
+
+            piv_col = jnp.where(has & is_r, col, piv_col)
+            rank = rank + has.astype(jnp.int32)
+            return A, b, rank, piv_col
+
+        piv_col0 = jnp.full((m,), -1, jnp.int32)
+        return jax.lax.fori_loop(
+            0, self.n, step, (A, b, jnp.int32(0), piv_col0)
+        )
+
+    def _osd_single(self, syndrome: jax.Array, llr: jax.Array, hard: jax.Array):
+        n, m = self.n, self.m
+        cfg = self.config
+        hard = hard.astype(jnp.int32)
+        resid = (syndrome.astype(jnp.int32) + self._H.astype(jnp.int32) @ hard) % 2
+
+        llr_abs = jnp.abs(llr)
+        order = jnp.argsort(llr_abs, stable=True)
+        Hp = self._H[:, order]  # per-sample column permutation
+        A = self._pack_rows(Hp)
+        A, b, rank, piv_col = self._eliminate(A, resid.astype(jnp.uint32))
+
+        # OSD-0: e_perm[pivot col of row r] = b[r]; dummy slot n absorbs -1 rows
+        tgt = jnp.where(piv_col >= 0, piv_col, n)
+        e_perm = jnp.zeros(n + 1, jnp.uint32).at[tgt].set(b)[:n]
+
+        if cfg.order == 0:
+            corr = jnp.zeros(n, jnp.uint32).at[order].set(e_perm)
+            return ((hard + corr.astype(jnp.int32)) % 2).astype(jnp.int8)
+
+        # ---- OSD-e combination search --------------------------------------
+        # consistency: every pivotless (all-zero) RREF row must have b == 0
+        consistent = jnp.all((piv_col >= 0) | (b == 0))
+
+        # test set: the `num_test` least-reliable non-pivot columns. Permuted
+        # coords are already sorted by |llr|, so ascending column order is
+        # reliability order (cf. OSD_enhanced.py:74-81, where the re-sort of
+        # non-pivot positions by llr is an identity on sorted coords).
+        is_piv = jnp.zeros(n + 1, bool).at[tgt].set(piv_col >= 0)[:n]
+        col_ids = jnp.arange(n)
+        test_cols = jnp.argsort(jnp.where(is_piv, n + col_ids, col_ids), stable=True)[
+            : self.num_test
+        ]
+        # a column slot is unusable if it is actually a pivot (fewer than
+        # num_test non-pivot columns exist); mask its contribution out
+        test_valid = ~is_piv[test_cols]
+
+        # T[r, t] = RREF bit (row r, test column t), extracted from packed rows
+        words = A[:, test_cols // _WORD]  # (m, t)
+        Tmat = ((words >> (test_cols % _WORD).astype(jnp.uint32)) & 1).astype(
+            jnp.float32
+        )
+        Tmat = Tmat * test_valid[None, :].astype(jnp.float32)
+
+        # per-pattern pivot values: b XOR (T @ f) mod 2  -> (C, m)
+        F = self._patterns * test_valid[None, :].astype(jnp.float32)  # (C, t)
+        piv_vals = jnp.mod(
+            F @ Tmat.T + b.astype(jnp.float32)[None, :], 2.0
+        )  # (C, m)
+
+        # LLR cost of the full solution hard XOR corr:
+        #   cost = const + sum_j corr_j * |llr_j| * (1 - 2 hard_j)   (orig coords)
+        # (cf. OSD_enhanced.py:158-177 metric; the invalid-syndrome penalty is
+        # pattern-independent, see module docstring.)
+        w_perm = (llr_abs * (1.0 - 2.0 * hard.astype(llr.dtype)))[order]
+        w_test = w_perm[test_cols] * test_valid
+        w_piv = jnp.where(piv_col >= 0, w_perm[jnp.clip(piv_col, 0, n - 1)], 0.0)
+        costs = F @ w_test + piv_vals @ w_piv  # (C,)
+
+        best = jnp.argmin(costs)  # first minimum == reference tie-breaking
+        best = jnp.where(consistent, 0, best)  # OSD-0 returned when valid
+
+        # assemble the winning pattern's correction: test-column flips plus
+        # the recomputed pivot values (dummy slot n absorbs pivotless rows)
+        f_best = self._patterns[best] * test_valid.astype(jnp.float32)
+        pv_best = piv_vals[best]
+        e_full = jnp.zeros(n + 1, jnp.float32).at[test_cols].set(f_best)
+        e_full = e_full.at[tgt].set(jnp.where(piv_col >= 0, pv_best, 0.0))
+        e_perm_best = e_full[:n].astype(jnp.uint32)
+
+        corr = jnp.zeros(n, jnp.uint32).at[order].set(e_perm_best)
+        return ((hard + corr.astype(jnp.int32)) % 2).astype(jnp.int8)
+
+    def __call__(self, syndromes, llrs, hard) -> jax.Array:
+        return self._decode(
+            jnp.asarray(syndromes), jnp.asarray(llrs), jnp.asarray(hard)
+        )

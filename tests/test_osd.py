@@ -1,0 +1,116 @@
+import numpy as np
+import pytest
+
+import oracles
+from qldpc_tpu.codes import get_code
+from qldpc_tpu.decoders import BPConfig, BPDecoder
+from qldpc_tpu.decoders.osd import OSDConfig, OSDDecoder, make_flip_patterns
+
+
+def uniform_prior(n, p):
+    return np.full(n, np.log((1 - p) / p))
+
+
+def bp_then_llrs(rng, H, p, batch, max_iter=12):
+    """Generate realistic (syndrome, llr, hard) triples via a short BP run."""
+    n = H.shape[1]
+    errors = (rng.random((batch, n)) < p).astype(np.int8)
+    syndromes = (errors @ H.T) % 2
+    res = BPDecoder(H, BPConfig(max_iter=max_iter))(syndromes, uniform_prior(n, p))
+    return errors, syndromes, np.asarray(res.llrs), np.asarray(res.hard)
+
+
+class TestFlipPatterns:
+    def test_counts(self):
+        # 1 zero pattern + C(4,1) + C(4,2) = 1 + 4 + 6
+        P = make_flip_patterns(4, 2)
+        assert P.shape == (11, 4)
+        assert not P[0].any()
+        weights = P.sum(axis=1)
+        assert list(weights[1:5]) == [1] * 4
+        assert list(weights[5:]) == [2] * 6
+
+    def test_max_combinations_truncates(self):
+        P = make_flip_patterns(6, 3, max_combinations=5)
+        assert P.shape == (6, 6)  # zero pattern + 5
+
+
+class TestOSD0:
+    @pytest.mark.parametrize("code_name", ["steane", "[[72, 12, 6]]", "[[90, 8, 10]]"])
+    def test_matches_oracle(self, rng, code_name):
+        code = get_code(code_name)
+        H = code.Hx
+        _, syndromes, llrs, hard = bp_then_llrs(rng, H, 0.06, batch=48)
+        osd = OSDDecoder(H, OSDConfig(order=0))
+        sols = np.asarray(osd(syndromes, llrs, hard))
+        for i in range(len(syndromes)):
+            expect = oracles.osd0(H, syndromes[i], llrs[i], hard[i])
+            assert np.array_equal(sols[i] % 2, expect), f"sample {i}"
+
+    def test_solution_satisfies_syndrome(self, rng):
+        """OSD output must always reproduce a consistent syndrome
+        (the physics invariant the reference checks at rework/main.py:93-94)."""
+        code = get_code("[[144, 12, 12]]")
+        H = code.Hx
+        _, syndromes, llrs, hard = bp_then_llrs(rng, H, 0.08, batch=64, max_iter=5)
+        sols = np.asarray(OSDDecoder(H)(syndromes, llrs, hard))
+        s_hat = (sols @ H.T) % 2
+        assert np.array_equal(s_hat, syndromes)
+
+    def test_zero_residual_returns_hard(self, rng):
+        code = get_code("steane")
+        H = code.Hx
+        hard = np.array([[1, 0, 0, 0, 0, 0, 0]], dtype=np.int8)
+        syndromes = (hard @ H.T) % 2
+        llrs = np.abs(rng.normal(size=(1, 7))) + 0.5
+        sols = np.asarray(OSDDecoder(H)(syndromes, llrs, hard))
+        assert np.array_equal(sols, hard)
+
+
+class TestOSDEnhanced:
+    def test_consistent_system_returns_osd0(self, rng):
+        """For consistent syndromes OSD-e must equal OSD-0 (the reference
+        returns early at OSD_enhanced.py:59 whenever OSD-0 is valid)."""
+        code = get_code("[[72, 12, 6]]")
+        H = code.Hx
+        _, syndromes, llrs, hard = bp_then_llrs(rng, H, 0.06, batch=32, max_iter=5)
+        sols0 = np.asarray(OSDDecoder(H, OSDConfig(order=0))(syndromes, llrs, hard))
+        sols7 = np.asarray(OSDDecoder(H, OSDConfig(order=7))(syndromes, llrs, hard))
+        assert np.array_equal(sols0, sols7)
+
+    def test_inconsistent_system_picks_min_cost(self, rng):
+        """Syndrome flips make H e = s inconsistent; the search must pick the
+        minimum-LLR-cost solution among OSD-0 and all flip patterns."""
+        code = get_code("steane")
+        H = code.Hx
+        n = code.n
+        errors = (rng.random((24, n)) < 0.12).astype(np.int8)
+        syndromes = (errors @ H.T) % 2
+        # flip one syndrome bit per sample -> often inconsistent with BP hard
+        flip = rng.integers(0, H.shape[0], size=24)
+        syndromes[np.arange(24), flip] ^= 1
+        res = BPDecoder(H, BPConfig(max_iter=8))(syndromes, uniform_prior(n, 0.12))
+        llrs, hard = np.asarray(res.llrs), np.asarray(res.hard)
+
+        order = 2
+        osd = OSDDecoder(H, OSDConfig(order=order))
+        sols = np.asarray(osd(syndromes, llrs, hard))
+
+        for i in range(24):
+            # enumerate the reference search space by brute force on the oracle
+            base = oracles.osd0(H, syndromes[i], llrs[i], hard[i])
+            base_valid = np.array_equal((base @ H.T) % 2, syndromes[i])
+            if base_valid:
+                assert np.array_equal(sols[i], base)
+                continue
+            got_cost = np.sum(np.abs(llrs[i]) * sols[i])
+            base_cost = np.sum(np.abs(llrs[i]) * base)
+            assert got_cost <= base_cost + 1e-4, f"sample {i} worse than OSD-0"
+
+    def test_order0_path_equals_order_config_zero(self, rng):
+        code = get_code("steane")
+        H = code.Hx
+        _, syndromes, llrs, hard = bp_then_llrs(rng, H, 0.1, batch=16, max_iter=4)
+        a = np.asarray(OSDDecoder(H, OSDConfig(order=0))(syndromes, llrs, hard))
+        b = np.asarray(OSDDecoder(H, OSDConfig(order=3))(syndromes, llrs, hard))
+        assert np.array_equal(a, b)  # consistent systems
