@@ -1,0 +1,14 @@
+from .checkpoint import CheckpointManager
+from .engine import EngineConfig, MonteCarloEngine, SweepResult
+from .metrics import HIST_BINS, Counters, counters_to_dict, zeros_counters
+
+__all__ = [
+    "CheckpointManager",
+    "EngineConfig",
+    "MonteCarloEngine",
+    "SweepResult",
+    "Counters",
+    "HIST_BINS",
+    "counters_to_dict",
+    "zeros_counters",
+]

@@ -1,0 +1,280 @@
+"""Sharded Monte-Carlo logical-error-rate engine.
+
+This is the TPU re-design of the reference's canonical trial loop
+(studies/study.py:50-87: sample error -> syndrome -> BP -> OSD fallback ->
+classify -> count; also rework/main.py:75-112 with richer metrics). The
+entire loop body — channel sampling, BP, OSD, classification, counting —
+is one jitted, natively batched device program, sharded over a 1-D device
+mesh with ``shard_map``:
+
+  * the sample batch axis is split across devices;
+  * each shard derives its RNG stream with ``fold_in(key, shard_index)``;
+  * outcome counters are ``psum``-reduced on-device, so one scalar bundle
+    returns per batch regardless of mesh size;
+  * exact trial counts are kept with a validity mask (no ragged batches);
+  * partial results checkpoint after every batch and resume transparently
+    (the reference loses an entire sweep on interruption — SURVEY.md §5.4).
+
+Decoding basis: ``Hx`` detects the sampled (Z-type) errors and ``Lx``
+classifies logical residuals, exactly like the reference drivers
+(studies/study.py:32-34); pass ``basis="z"`` for the transpose experiment.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from qldpc_tpu.codes.css import CSSCode
+from qldpc_tpu.decoders.bp import BPConfig, BPDecoder
+from qldpc_tpu.decoders.osd import OSDConfig, OSDDecoder
+from qldpc_tpu.mc.metrics import HIST_BINS, Counters, counters_to_dict, zeros_counters
+from qldpc_tpu.noise import spacetime as st
+from qldpc_tpu.parallel.mesh import BATCH_AXIS, make_mesh
+
+__all__ = ["EngineConfig", "MonteCarloEngine", "SweepResult"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    bp: BPConfig = BPConfig()
+    osd: OSDConfig | None = OSDConfig()  # None = BP-only (fault => logical error)
+    channel: str = "code-capacity"  # | "doubled" | "phenomenological" | "space-time"
+    basis: str = "x"
+    n_rounds: int = 0  # space-time rounds; 0 => code.distance
+    syndrome_flip_rate: float | None = None  # phenomenological q (None => p)
+    batch_size: int = 4096  # global batch across the mesh
+
+
+@dataclasses.dataclass
+class SweepResult:
+    code_name: str
+    error_rates: list[float]
+    per_rate: list[dict]  # counters_to_dict output per error rate
+    wall_time_s: float = 0.0
+    throughput: float = 0.0  # decoded syndromes / s (aggregate)
+
+    def curve(self, key: str) -> np.ndarray:
+        return np.array([r[key] for r in self.per_rate])
+
+
+class MonteCarloEngine:
+    """Batched, sharded LER estimation for one code + decoder configuration."""
+
+    def __init__(self, code: CSSCode, config: EngineConfig = EngineConfig(), mesh=None):
+        self.code = code
+        self.config = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_devices = self.mesh.devices.size
+        if config.batch_size % self.n_devices:
+            raise ValueError("batch_size must divide evenly across the mesh")
+        self.local_batch = config.batch_size // self.n_devices
+
+        H = code.Hx if config.basis == "x" else code.Hz
+        L = code.Lx if config.basis == "x" else code.Lz
+        self.n_qubits = H.shape[1]
+        self.distance = code.distance
+
+        if config.channel == "space-time":
+            self.n_rounds = config.n_rounds or max(code.distance, 1)
+            self._H_dec = st.space_time_matrix(H, self.n_rounds)
+            self._H_space = H
+        else:
+            self.n_rounds = 0
+            self._H_dec = H
+            self._H_space = H
+        self.n_vars = self._H_dec.shape[1]
+        self.m_checks = self._H_dec.shape[0]
+
+        self._bp = BPDecoder(self._H_dec, config.bp)
+        self._osd = (
+            OSDDecoder(self._H_dec, config.osd) if config.osd is not None else None
+        )
+        self._Hf = jnp.asarray(self._H_dec, jnp.float32)
+        self._Lf = jnp.asarray(L, jnp.float32)
+        self._batch_fn = self._build()
+
+    # ------------------------------------------------------------------ build
+    def _sample(self, key, p, batch):
+        """Channel sampling; returns (errors, syndromes, priors)."""
+        cfg = self.config
+        n = self.n_vars
+        if cfg.channel == "code-capacity":
+            errors = jax.random.bernoulli(key, p, (batch, n)).astype(jnp.int8)
+            syn = self._syndrome(errors)
+            priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
+        elif cfg.channel == "doubled":
+            p2 = 2.0 * p * (1.0 - p)
+            errors = jax.random.bernoulli(key, p2, (batch, n)).astype(jnp.int8)
+            syn = self._syndrome(errors)
+            # the reference decodes the doubled channel with the plain
+            # log((1-p)/p) prior (paperResults.py:66-77)
+            priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
+        elif cfg.channel == "phenomenological":
+            q = p if cfg.syndrome_flip_rate is None else cfg.syndrome_flip_rate
+            ke, kq = jax.random.split(key)
+            errors = jax.random.bernoulli(ke, p, (batch, n)).astype(jnp.int8)
+            flips = jax.random.bernoulli(kq, q, (batch, self.m_checks)).astype(jnp.int8)
+            syn = (self._syndrome(errors) + flips) % 2
+            priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
+        elif cfg.channel == "space-time":
+            q = p if cfg.syndrome_flip_rate is None else cfg.syndrome_flip_rate
+            errors, syn = st.sample_space_time(
+                key, self._H_space, p, batch, self.n_rounds, q=q
+            )
+            priors = st.space_time_prior_llr(
+                self.n_qubits, self._H_space.shape[0], self.n_rounds, p, q=q
+            )
+        else:
+            raise ValueError(f"unknown channel {self.config.channel!r}")
+        return errors, syn, priors
+
+    def _syndrome(self, errors):
+        s = jnp.dot(
+            errors.astype(jnp.float32), self._Hf.T, preferred_element_type=jnp.float32
+        )
+        return jnp.mod(s, 2.0).astype(jnp.int8)
+
+    def _classify(self, errors, final, syn, bp_res, valid) -> Counters:
+        """Outcome taxonomy of studies/study.py:73-87 + rework/main.py:164-190."""
+        cfg = self.config
+        conv = bp_res.converged
+        residual = (errors.astype(jnp.int32) + final.astype(jnp.int32)) % 2
+        if cfg.channel == "space-time":
+            folded = st.fold_data_correction(residual, self.n_qubits, self.n_rounds)
+            logical_vec = jnp.mod(folded.astype(jnp.float32) @ self._Lf.T, 2.0)
+            err_weight = st.fold_data_correction(
+                errors, self.n_qubits, self.n_rounds
+            ).sum(-1)
+            res_weight = folded.sum(-1)
+        else:
+            logical_vec = jnp.mod(residual.astype(jnp.float32) @ self._Lf.T, 2.0)
+            err_weight = errors.astype(jnp.int32).sum(-1)
+            res_weight = residual.sum(-1)
+
+        logical = jnp.any(logical_vec != 0, axis=-1)
+        if self._osd is None:
+            # BP-only runs count a non-converged decode as a fault == logical
+            # error (the CC-50k archives' semantics, SURVEY.md §6 table 2)
+            logical = logical | ~conv
+        mismatch = jnp.any(final.astype(jnp.int32) != errors.astype(jnp.int32), axis=-1)
+
+        s_hat = self._syndrome(final)
+        sol_valid = jnp.all(s_hat == syn.astype(jnp.int8), axis=-1)
+
+        low_weight = err_weight < (self.distance // 2)
+        degenerate = ~logical & mismatch
+        osd_used = ~conv if self._osd is not None else jnp.zeros_like(conv)
+
+        v = valid
+        cnt = lambda mask: jnp.sum((mask & v).astype(jnp.int32))
+        w = jnp.clip(res_weight, 0, HIST_BINS - 1)
+        hist = lambda mask: jnp.zeros((HIST_BINS,), jnp.int32).at[w].add(
+            (mask & v).astype(jnp.int32)
+        )
+
+        return Counters(
+            trials=jnp.sum(v.astype(jnp.int32)),
+            logical_errors=cnt(logical),
+            bp_converged=cnt(conv),
+            bp_faults=cnt(~conv),
+            osd_invocations=cnt(osd_used),
+            miscorrected=cnt(logical & low_weight),
+            incorrectable=cnt(logical & ~low_weight),
+            degeneracies=cnt(degenerate),
+            valid_degenerate=cnt(degenerate & sol_valid),
+            osd_and_logical=cnt(logical & ~conv),
+            sum_iterations=jnp.sum(
+                jnp.where(v, bp_res.iterations, 0).astype(jnp.int32)
+            ),
+            hist_bp=hist(degenerate & conv),
+            hist_osd=hist(degenerate & ~conv),
+            hist_bp_error=hist(logical & conv),
+            hist_osd_error=hist(logical & ~conv),
+        )
+
+    def _build(self):
+        local_B = self.local_batch
+
+        def local_step(key, p, n_valid):
+            idx = jax.lax.axis_index(BATCH_AXIS)
+            key = jax.random.fold_in(key, idx)
+            errors, syn, priors = self._sample(key, p, local_B)
+            bp_res = self._bp._decode(syn, priors)
+            if self._osd is not None:
+                osd_sol = self._osd._decode(syn, bp_res.llrs, bp_res.hard)
+                final = jnp.where(bp_res.converged[:, None], bp_res.hard, osd_sol)
+            else:
+                final = bp_res.hard
+            sample_ids = idx * local_B + jnp.arange(local_B)
+            valid = sample_ids < n_valid
+            counters = self._classify(errors, final, syn, bp_res, valid)
+            return jax.tree.map(partial(jax.lax.psum, axis_name=BATCH_AXIS), counters)
+
+        sharded = jax.shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(sharded)
+
+    # -------------------------------------------------------------------- run
+    def run_rate(
+        self, p: float, trials: int, seed: int = 0, start_batch: int = 0,
+        init: Counters | None = None, on_batch=None,
+    ) -> Counters:
+        """Accumulate `trials` samples at one error rate."""
+        B = self.config.batch_size
+        n_batches = -(-trials // B)
+        total = init if init is not None else zeros_counters()
+        key = jax.random.key(seed)
+        for b in range(start_batch, n_batches):
+            done = b * B
+            n_valid = min(B, trials - done)
+            kb = jax.random.fold_in(jax.random.fold_in(key, hash(p) % (2**31)), b)
+            counters = self._batch_fn(kb, jnp.float32(p), jnp.int32(n_valid))
+            total = total + counters
+            if on_batch is not None:
+                on_batch(b, n_batches, total)
+        return total
+
+    def sweep(
+        self,
+        error_rates,
+        trials: int,
+        seed: int = 0,
+        checkpoint=None,
+        verbose: bool = False,
+    ) -> SweepResult:
+        """Full LER sweep over an error-rate grid (with optional resume)."""
+        t0 = time.time()
+        per_rate = []
+        for i, p in enumerate(error_rates):
+            if checkpoint is not None:
+                counters = checkpoint.run_rate(self, float(p), trials, seed + i)
+            else:
+                counters = self.run_rate(float(p), trials, seed=seed + i)
+            d = counters_to_dict(counters)
+            per_rate.append(d)
+            if verbose:
+                print(
+                    f"{self.code.name} p={float(p):.5g}: ler={d['ler']:.5g} "
+                    f"osd={d['osd']:.3g} iters={d['average_iterations']:.2f}"
+                )
+        wall = time.time() - t0
+        total_trials = sum(r["trials"] for r in per_rate)
+        return SweepResult(
+            code_name=self.code.name,
+            error_rates=[float(p) for p in error_rates],
+            per_rate=per_rate,
+            wall_time_s=wall,
+            throughput=total_trials / max(wall, 1e-9),
+        )

@@ -1,0 +1,32 @@
+from .channels import (
+    CHANNELS,
+    code_capacity,
+    doubled_channel,
+    get_channel,
+    phenomenological,
+    syndrome_of,
+    uniform_prior_llr,
+)
+from .dem import DEMData, priors_to_llrs
+from .spacetime import (
+    fold_data_correction,
+    sample_space_time,
+    space_time_matrix,
+    space_time_prior_llr,
+)
+
+__all__ = [
+    "CHANNELS",
+    "code_capacity",
+    "doubled_channel",
+    "get_channel",
+    "phenomenological",
+    "syndrome_of",
+    "uniform_prior_llr",
+    "DEMData",
+    "priors_to_llrs",
+    "space_time_matrix",
+    "sample_space_time",
+    "fold_data_correction",
+    "space_time_prior_llr",
+]
