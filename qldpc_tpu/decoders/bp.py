@@ -37,7 +37,6 @@ __all__ = ["BPConfig", "BPResult", "BPDecoder"]
 # (decoding/beliefPropagation.py:110). In float32 this rounds to 1 - 2^-23-ish,
 # giving arctanh ~ 8.3 — the same saturation the reference's JAX path had.
 _TANH_CLIP = 0.9999999
-_SAFE_FLOOR = 1e-15
 
 
 class BPResult(NamedTuple):
@@ -96,7 +95,8 @@ class BPDecoder:
         self._var_of_edge = jnp.asarray(g.var_of_edge)
         self._check_edge = jnp.asarray(g.check_edge)
         self._check_slot_of_edge = jnp.asarray(g.check_slot_of_edge)
-        self._decode = jax.jit(self._build())
+        self.decode_fn = self._build()  # unjitted (for graft/compile checks)
+        self._decode = jax.jit(self.decode_fn)
 
     # ---- layout helpers -----------------------------------------------------
     def _gather_check(self, x_edges: jax.Array, phantom) -> jax.Array:
@@ -121,24 +121,39 @@ class BPDecoder:
         return jnp.concatenate([x_edges, pad], axis=1)[:, self._var_edge]
 
     # ---- message updates ----------------------------------------------------
+    @staticmethod
+    def _others_product(t: jax.Array) -> jax.Array:
+        """Exact leave-one-out product along the last axis via prefix/suffix
+        cumulative products.
+
+        Replaces the reference's divide-by-self trick with its 1e-15 safe
+        floor (decoding/beliefPropagation.py:121-123): division-free is both
+        exact when a message is ~0 and — empirically — the only formulation
+        the TPU compiler accepts here (reduce->broadcast->reshape fusions of
+        the divide form segfault Mosaic on (B, m, dc) shapes).
+        """
+        ones = jnp.ones_like(t[..., :1])
+        pre = jnp.cumprod(t, axis=-1)
+        suf = jnp.cumprod(t[..., ::-1], axis=-1)[..., ::-1]
+        left = jnp.concatenate([ones, pre[..., :-1]], axis=-1)
+        right = jnp.concatenate([suf[..., 1:], ones], axis=-1)
+        return left * right
+
     def _check_messages(self, Q: jax.Array, syndrome_sign: jax.Array) -> jax.Array:
         """Check-to-variable messages R (B, E), already alpha-scaled."""
         cfg = self.config
+        dc = self.graph.dc_max
+        ssign = jnp.repeat(syndrome_sign[:, :, None], dc, axis=-1)
         if cfg.method == "sum-product":
             t = jnp.tanh(Q * 0.5)
             tc = self._gather_check(t, phantom=jnp.asarray(1.0, self._dtype))
-            prod = jnp.prod(tc, axis=-1, keepdims=True)
-            t_safe = jnp.where(jnp.abs(tc) < _SAFE_FLOOR, _SAFE_FLOOR, tc)
-            others = prod / t_safe
-            clipped = jnp.clip(
-                others * syndrome_sign[:, :, None], -_TANH_CLIP, _TANH_CLIP
-            )
+            others = self._others_product(tc)
+            clipped = jnp.clip(others * ssign, -_TANH_CLIP, _TANH_CLIP)
             R = 2.0 * jnp.arctanh(clipped)
         else:  # min-sum: sign product x second-smallest-magnitude trick
             sgn = jnp.where(Q >= 0, 1.0, -1.0).astype(self._dtype)
             sc = self._gather_check(sgn, phantom=jnp.asarray(1.0, self._dtype))
-            sign_prod = jnp.prod(sc, axis=-1, keepdims=True)
-            r_signs = sign_prod * sc  # product of the *other* signs (s^2 = 1)
+            r_signs = self._others_product(sc)
             aq = self._gather_check(
                 jnp.abs(Q), phantom=jnp.asarray(jnp.inf, self._dtype)
             )
@@ -147,8 +162,12 @@ class BPDecoder:
                 jnp.argmin(aq, axis=-1), aq.shape[-1], dtype=bool
             )
             min2 = jnp.min(jnp.where(first_min, jnp.inf, aq), axis=-1, keepdims=True)
-            mags = jnp.where(aq == min1, min2, min1)
-            R = syndrome_sign[:, :, None] * r_signs * mags
+            mags = jnp.where(
+                aq == jnp.repeat(min1, dc, axis=-1),
+                jnp.repeat(min2, dc, axis=-1),
+                jnp.repeat(min1, dc, axis=-1),
+            )
+            R = ssign * r_signs * mags
         if cfg.alpha != 1.0:
             R = R * jnp.asarray(cfg.alpha, self._dtype)
         return self._scatter_check(R)

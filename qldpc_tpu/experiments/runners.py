@@ -1,0 +1,202 @@
+"""Experiment runners: turn an ExperimentSpec into engine sweeps + artifacts.
+
+Each reference driver (studies/study.py, paperResults.py, BP_per_Iteration.py,
+spectrum.py, rework/main.py, rework/Alvarado.py) maps to `run_experiment`
+with the corresponding preset; outputs preserve the reference npz schemas
+(results dict-of-dicts keyed by code then metric / error rate) plus the
+matching plots.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from qldpc_tpu.codes import get_code
+from qldpc_tpu.decoders.alvarado import estimate_alpha
+from qldpc_tpu.decoders.bp import BPConfig
+from qldpc_tpu.decoders.osd import OSDConfig
+from qldpc_tpu.mc import CheckpointManager, EngineConfig, MonteCarloEngine
+from qldpc_tpu.utils import plotting
+from qldpc_tpu.utils.profiling import PhaseTimer
+
+from .configs import ExperimentSpec
+
+__all__ = ["run_experiment", "build_engine"]
+
+
+def _bp_config(spec: ExperimentSpec, max_iter=None, alpha=None) -> BPConfig:
+    return BPConfig(
+        max_iter=max_iter if max_iter is not None else spec.bp_max_iter,
+        method=spec.bp_method,
+        alpha=alpha if alpha is not None else spec.alpha,
+        damping=spec.damping,
+        clip_llr=spec.clip_llr,
+        chunk_size=spec.bp_chunk_size,
+    )
+
+
+def _osd_config(spec: ExperimentSpec) -> OSDConfig | None:
+    if spec.osd_order is None:
+        return None
+    return OSDConfig(order=spec.osd_order, max_combinations=spec.osd_max_combinations)
+
+
+def build_engine(
+    spec: ExperimentSpec, code_name: str, mesh=None, max_iter=None, alpha=None
+) -> MonteCarloEngine:
+    code = get_code(code_name)
+    return MonteCarloEngine(
+        code,
+        EngineConfig(
+            bp=_bp_config(spec, max_iter=max_iter, alpha=alpha),
+            osd=_osd_config(spec),
+            channel=spec.channel,
+            n_rounds=spec.n_rounds,
+            syndrome_flip_rate=spec.syndrome_flip_rate,
+            batch_size=spec.batch_size,
+        ),
+        mesh=mesh,
+    )
+
+
+def run_experiment(
+    spec: ExperimentSpec, mesh=None, verbose: bool = True, checkpoint: bool = True
+) -> dict:
+    """Run a sweep and write <output_dir>/<name>.npz + plots.
+
+    Returns the results dict: {code_name: {p: metrics_dict}} plus sweep
+    metadata under "_meta".
+    """
+    out = Path(spec.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    ckpt = CheckpointManager(out / f"{spec.name}_ckpt") if checkpoint else None
+    timer = PhaseTimer()
+
+    results: dict = {}
+    t0 = time.time()
+    total_trials = 0
+    for code_name in spec.codes:
+        rates = [float(p) for p in spec.rates_for(code_name)]
+        results[code_name] = {}
+        iter_grid = spec.max_iter_grid or [None]
+        for max_iter in iter_grid:
+            for i, p in enumerate(rates):
+                alpha = None
+                if spec.estimate_alpha:
+                    with timer.phase("alpha-estimation"):
+                        alpha = estimate_alpha(
+                            get_code(code_name).Hx, p,
+                            method=spec.bp_method, seed=spec.seed + 17 * i,
+                        )
+                with timer.phase("engine-build"):
+                    eng = build_engine(
+                        spec, code_name, mesh=mesh, max_iter=max_iter, alpha=alpha
+                    )
+                with timer.phase("sweep"):
+                    if ckpt is not None:
+                        counters = ckpt.run_rate(eng, p, spec.trials, spec.seed + i)
+                    else:
+                        counters = eng.run_rate(p, spec.trials, seed=spec.seed + i)
+                from qldpc_tpu.mc import counters_to_dict
+
+                d = counters_to_dict(counters)
+                if alpha is not None:
+                    d["alpha"] = alpha
+                key = p if max_iter is None else (max_iter, p)
+                results[code_name][key] = d
+                total_trials += d["trials"]
+                if verbose:
+                    extra = f" it={max_iter}" if max_iter is not None else ""
+                    print(
+                        f"[{spec.name}] {code_name}{extra} p={p:.5g}: "
+                        f"ler={d['ler']:.5g} osd={d['osd']:.4g} "
+                        f"avg_iters={d['average_iterations']:.2f}",
+                        flush=True,
+                    )
+
+    wall = time.time() - t0
+    results["_meta"] = {
+        "spec": json.loads(spec.to_json()),
+        "wall_time_s": wall,
+        "throughput_trials_per_s": total_trials / max(wall, 1e-9),
+    }
+    _save_and_plot(spec, results, out)
+    if verbose:
+        print(timer.report())
+        print(f"[{spec.name}] total {total_trials} trials in {wall:.1f}s "
+              f"({total_trials/max(wall,1e-9):.0f}/s)")
+    return results
+
+
+def _save_and_plot(spec: ExperimentSpec, results: dict, out: Path) -> None:
+    np.savez(
+        out / f"{spec.name}.npz",
+        results=np.array(results, dtype=object),
+        allow_pickle=True,
+    )
+    codes = [c for c in results if c != "_meta"]
+    if not codes:
+        return
+    if spec.max_iter_grid:
+        # LER vs max_iter (BP_per_Iteration plot)
+        import collections
+
+        curves = {}
+        for c in codes:
+            by_iter = collections.defaultdict(list)
+            for (mi, p), d in results[c].items():
+                by_iter[mi].append(d["ler"])
+            curves[c] = np.array([np.mean(by_iter[mi]) for mi in spec.max_iter_grid])
+        plotting.plot_ler_curves(
+            curves, spec.max_iter_grid, path=out / f"{spec.name}_ler_vs_iters.png",
+            title=f"{spec.name}: LER vs BP iterations",
+        )
+        return
+
+    rates = {c: sorted(results[c]) for c in codes}
+    lers = {c: np.array([results[c][p]["ler"] for p in rates[c]]) for c in codes}
+    # per-code rate grids can differ; plot on each code's own grid
+    first = codes[0]
+    if all(rates[c] == rates[first] for c in codes):
+        plotting.plot_ler_curves(
+            lers, rates[first], path=out / f"{spec.name}_ler.png", title=spec.name
+        )
+        per_code = {
+            c: {
+                k: np.array([results[c][p][k] for p in rates[c]])
+                for k in ("BPs_fault", "BPs_miscorrected", "incorrectable")
+            }
+            for c in codes
+        }
+        plotting.plot_failure_decomposition(
+            per_code, rates[first], path=out / f"{spec.name}_failures.png"
+        )
+        deg = {
+            c: np.array([results[c][p]["degeneracy_count"] for p in rates[c]])
+            for c in codes
+        }
+        plotting.plot_degeneracies(
+            deg, rates[first], path=out / f"{spec.name}_degeneracies.png"
+        )
+    else:
+        rework_style = {
+            c: {p: results[c][p] for p in rates[c]} for c in codes
+        }
+        plotting.plot_rework_panels(
+            rework_style, path=out / f"{spec.name}_panels.png", title=spec.name
+        )
+    # weight histograms (spectrum / rework plots)
+    dists = {c: get_code(c).distance for c in codes}
+    for key, suffix in [("weights_found_BP", "BP"), ("weights_found_OSD", "OSD")]:
+        hists = {
+            c: np.sum([results[c][p][key] for p in rates[c]], axis=0) for c in codes
+        }
+        if any(h.sum() for h in hists.values()):
+            plotting.plot_weight_histograms(
+                hists, dists, path=out / f"{spec.name}_weights_{suffix}.png",
+                suffix=f"({suffix})",
+            )
