@@ -59,12 +59,16 @@ class BPConfig:
     clip_llr: float | None = None  # symmetric clip of Q messages, None = off
     chunk_size: int = 0  # >0: early-exit between chunks of this many iters
     dtype: str = "float32"
+    backend: str = "xla"  # "xla" | "pallas" (fused VMEM-resident TPU kernel)
+    batch_tile: int = 256  # pallas: batch lanes per grid step
 
     def __post_init__(self):
         if self.method not in ("sum-product", "min-sum"):
             raise ValueError(f"unknown BP method {self.method!r}")
         if self.chunk_size and self.max_iter % self.chunk_size:
             raise ValueError("max_iter must be a multiple of chunk_size")
+        if self.backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
 
 
 class _Carry(NamedTuple):
@@ -95,7 +99,10 @@ class BPDecoder:
         self._var_of_edge = jnp.asarray(g.var_of_edge)
         self._check_edge = jnp.asarray(g.check_edge)
         self._check_slot_of_edge = jnp.asarray(g.check_slot_of_edge)
-        self.decode_fn = self._build()  # unjitted (for graft/compile checks)
+        if config.backend == "pallas":
+            self.decode_fn = self._build_pallas()
+        else:
+            self.decode_fn = self._build()  # unjitted (for graft/compile checks)
         self._decode = jax.jit(self.decode_fn)
 
     # ---- layout helpers -----------------------------------------------------
@@ -251,6 +258,33 @@ class BPDecoder:
                 hard=carry.hard,
                 converged=carry.converged,
                 llrs=carry.values,
+                iterations=iters,
+            )
+
+        return decode
+
+    def _build_pallas(self):
+        """Fused VMEM-resident kernel path (qldpc_tpu.ops.bp_pallas)."""
+        from qldpc_tpu.ops.bp_pallas import PallasBPKernel
+
+        cfg = self.config
+        kernel = PallasBPKernel(
+            self.graph,
+            max_iter=cfg.max_iter,
+            method=cfg.method,
+            alpha=cfg.alpha,
+            damping=cfg.damping,
+            clip_llr=cfg.clip_llr,
+            batch_tile=cfg.batch_tile,
+            interpret=jax.default_backend() == "cpu",
+        )
+
+        def decode(syndromes: jax.Array, priors: jax.Array) -> BPResult:
+            values, conv, iters = kernel(syndromes, priors)
+            return BPResult(
+                hard=(values < 0).astype(jnp.int8),
+                converged=conv,
+                llrs=values,
                 iterations=iters,
             )
 
