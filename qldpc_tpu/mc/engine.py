@@ -50,6 +50,9 @@ class EngineConfig:
     n_rounds: int = 0  # space-time rounds; 0 => code.distance
     syndrome_flip_rate: float | None = None  # phenomenological q (None => p)
     batch_size: int = 4096  # global batch across the mesh
+    osd_fraction: float = 1.0  # per-batch OSD capacity as a fraction of the
+    # local batch; non-converged samples beyond it keep the BP output and are
+    # tallied in the osd_overflow counter (1.0 == exact reference behavior)
 
 
 @dataclasses.dataclass
@@ -190,6 +193,7 @@ class MonteCarloEngine:
             degeneracies=cnt(degenerate),
             valid_degenerate=cnt(degenerate & sol_valid),
             osd_and_logical=cnt(logical & ~conv),
+            osd_overflow=jnp.zeros((), jnp.int32),
             sum_iterations=jnp.sum(
                 jnp.where(v, bp_res.iterations, 0).astype(jnp.int32)
             ),
@@ -202,19 +206,36 @@ class MonteCarloEngine:
     def _build(self):
         local_B = self.local_batch
 
+        k_osd = max(1, int(round(local_B * self.config.osd_fraction)))
+
         def local_step(key, p, n_valid):
             idx = jax.lax.axis_index(BATCH_AXIS)
             key = jax.random.fold_in(key, idx)
             errors, syn, priors = self._sample(key, p, local_B)
-            bp_res = self._bp._decode(syn, priors)
-            if self._osd is not None:
+            bp_res = self._bp.decode_fn(syn, priors)
+            overflow = jnp.zeros((), jnp.int32)
+            if self._osd is not None and k_osd >= local_B:
                 osd_sol = self._osd._decode(syn, bp_res.llrs, bp_res.hard)
                 final = jnp.where(bp_res.converged[:, None], bp_res.hard, osd_sol)
+            elif self._osd is not None:
+                # compaction: stable-sort non-converged samples to the front,
+                # post-process only the first k_osd slots, scatter back
+                sel = jnp.argsort(bp_res.converged, stable=True)[:k_osd]
+                osd_sol = self._osd._decode(
+                    syn[sel], bp_res.llrs[sel], bp_res.hard[sel]
+                )
+                picked = jnp.where(
+                    bp_res.converged[sel][:, None], bp_res.hard[sel], osd_sol
+                )
+                final = bp_res.hard.at[sel].set(picked)
+                n_fail = jnp.sum((~bp_res.converged).astype(jnp.int32))
+                overflow = jnp.maximum(n_fail - k_osd, 0)
             else:
                 final = bp_res.hard
             sample_ids = idx * local_B + jnp.arange(local_B)
             valid = sample_ids < n_valid
             counters = self._classify(errors, final, syn, bp_res, valid)
+            counters = counters._replace(osd_overflow=overflow)
             return jax.tree.map(partial(jax.lax.psum, axis_name=BATCH_AXIS), counters)
 
         sharded = jax.shard_map(

@@ -41,6 +41,7 @@ class Counters(NamedTuple):
     degeneracies: jax.Array  # () int32 — no logical & detection != error (study.py:77)
     valid_degenerate: jax.Array  # () int32 — + solution reproduces syndrome (rework/main.py:190)
     osd_and_logical: jax.Array  # () int32 — logical & BP failed (rework/main.py:179)
+    osd_overflow: jax.Array  # () int32 — BP failures beyond the OSD capacity
     sum_iterations: jax.Array  # () int32 — sum of per-sample BP exit iterations
     hist_bp: jax.Array  # (HIST_BINS,) int32 — residual wt, benign mismatch, BP converged
     hist_osd: jax.Array  # (HIST_BINS,) int32 — benign mismatch, OSD path
@@ -54,7 +55,7 @@ class Counters(NamedTuple):
 def zeros_counters() -> Counters:
     z = jnp.zeros((), jnp.int32)
     h = jnp.zeros((HIST_BINS,), jnp.int32)
-    return Counters(z, z, z, z, z, z, z, z, z, z, z, h, h, h, h)
+    return Counters(z, z, z, z, z, z, z, z, z, z, z, z, h, h, h, h)
 
 
 def counters_to_dict(c: Counters) -> dict:
@@ -76,6 +77,7 @@ def counters_to_dict(c: Counters) -> dict:
         "incorrectable": int(c.incorrectable),
         "degeneracy_count": int(c.degeneracies),
         "bp_converged": int(c.bp_converged),
+        "osd_overflow": int(c.osd_overflow),
         # histograms (rework's weights_found_* lists, binned)
         "weights_found_BP": c.hist_bp,
         "weights_found_OSD": c.hist_osd,

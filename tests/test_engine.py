@@ -97,6 +97,32 @@ class TestEngine:
         assert d["trials"] == 256
         assert d["ler"] < 0.5  # decodes far better than the broken reference run
 
+    def test_osd_compaction_matches_full(self):
+        """With capacity >= actual BP failures, compacted OSD must give the
+        exact same counters as the run-OSD-on-everything path."""
+        code = get_code("[[72, 12, 6]]")
+        base = dict(bp=BPConfig(max_iter=30), osd=OSDConfig(order=0), batch_size=256)
+        full = MonteCarloEngine(code, EngineConfig(**base, osd_fraction=1.0))
+        frac = MonteCarloEngine(code, EngineConfig(**base, osd_fraction=0.5))
+        cf = counters_to_dict(full.run_rate(0.03, trials=512, seed=4))
+        cp = counters_to_dict(frac.run_rate(0.03, trials=512, seed=4))
+        assert cp["osd_overflow"] == 0  # 50% capacity is ample at p=0.03
+        for key in ("ler", "BPs_fault", "degeneracies", "average_iterations"):
+            assert cf[key] == cp[key], key
+
+    def test_osd_overflow_counted(self):
+        """Tiny capacity at high p must overflow and report it."""
+        code = get_code("[[72, 12, 6]]")
+        eng = MonteCarloEngine(
+            code,
+            EngineConfig(
+                bp=BPConfig(max_iter=5), osd=OSDConfig(order=0),
+                batch_size=256, osd_fraction=0.01,
+            ),
+        )
+        d = counters_to_dict(eng.run_rate(0.1, trials=256, seed=0))
+        assert d["osd_overflow"] > 0
+
     def test_checkpoint_resume(self, tmp_path):
         eng = small_engine(batch_size=256)
         ckpt = CheckpointManager(tmp_path)
