@@ -31,7 +31,11 @@ def main():
     batch = int(__import__("os").environ.get("BENCH_BATCH", 16384))
     reps = int(__import__("os").environ.get("BENCH_REPS", 20))
 
-    dec = BPDecoder(H, BPConfig(max_iter=50, chunk_size=10))
+    backend = __import__("os").environ.get("BENCH_BACKEND", "pallas")
+    if backend == "pallas":
+        dec = BPDecoder(H, BPConfig(max_iter=50, backend="pallas", batch_tile=512))
+    else:
+        dec = BPDecoder(H, BPConfig(max_iter=50, chunk_size=10))
     prior = jnp.full((code.n,), float(np.log((1 - p) / p)), jnp.float32)
 
     # pre-generate distinct syndrome batches on device (sampling excluded
