@@ -142,7 +142,9 @@ PRESETS: dict[str, ExperimentSpec] = {
 
 
 def get_preset(name: str) -> ExperimentSpec:
+    import copy
+
     try:
-        return PRESETS[name].replace()
+        return copy.deepcopy(PRESETS[name])
     except KeyError:
         raise KeyError(f"unknown preset {name!r}; known: {list(PRESETS)}") from None
