@@ -19,6 +19,9 @@ BASELINE_SYNDROMES_PER_S = 1.0e6
 
 
 def main():
+    import qldpc_tpu
+
+    qldpc_tpu.enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
@@ -42,19 +45,20 @@ def main():
     # from the timed region; the timed op is decoding)
     rng = np.random.default_rng(0)
     batches = []
-    for _ in range(4):
+    for _ in range(8):
         errors = (rng.random((batch, code.n)) < p).astype(np.int8)
         batches.append(jnp.asarray((errors @ H.T) % 2))
     batches = [jax.device_put(b) for b in batches]
 
     # warmup / compile
-    dec(batches[0], prior).hard.block_until_ready()
+    warm = dec(batches[0], prior)
+    jax.block_until_ready(warm)
+    assert bool(warm.converged.mean() > 0.9), "decoder sanity check failed"
 
+    # timed region: pipelined dispatches, wait on every output
     t0 = time.perf_counter()
-    out = None
-    for i in range(reps):
-        out = dec(batches[i % len(batches)], prior)
-    out.hard.block_until_ready()
+    outs = [dec(batches[i % len(batches)], prior) for i in range(reps)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     value = batch * reps / dt
