@@ -63,6 +63,36 @@ def build_engine(
     )
 
 
+def _llr_histograms(
+    spec: ExperimentSpec, code_name: str, p: float, max_iter, alpha,
+    seed: int = 0, batch: int = 2048, bins: int = 80, lim: float = 40.0,
+):
+    """Histogram posterior LLRs by true bit value (BP_per_Iteration.py's
+    violin source data, binned for device-side accumulation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from qldpc_tpu.decoders.bp import BPDecoder
+
+    code = get_code(code_name)
+    H = code.Hx
+    n = code.n
+    dec = BPDecoder(H, _bp_config(spec, max_iter=max_iter, alpha=alpha))
+    key = jax.random.key(seed + 999)
+    errors = jax.random.bernoulli(key, p, (batch, n)).astype(jnp.int8)
+    syn = jnp.mod(
+        jnp.dot(errors.astype(jnp.float32), jnp.asarray(H, jnp.float32).T), 2.0
+    ).astype(jnp.int8)
+    prior = jnp.full((n,), float(np.log((1 - p) / p)), jnp.float32)
+    res = dec(syn, prior)
+    llrs = np.asarray(res.llrs).ravel()
+    bit = np.asarray(errors).ravel()
+    edges = np.linspace(-lim, lim, bins + 1)
+    h0, _ = np.histogram(np.clip(llrs[bit == 0], -lim, lim), bins=edges)
+    h1, _ = np.histogram(np.clip(llrs[bit == 1], -lim, lim), bins=edges)
+    return {"edges": edges, "true_0": h0, "true_1": h1}
+
+
 def run_experiment(
     spec: ExperimentSpec, mesh=None, verbose: bool = True, checkpoint: bool = True
 ) -> dict:
@@ -107,6 +137,13 @@ def run_experiment(
                 if alpha is not None:
                     d["alpha"] = alpha
                 key = p if max_iter is None else (max_iter, p)
+                if spec.max_iter_grid:
+                    # LLR-distribution diagnostics (the violin data of
+                    # BP_per_Iteration.py): posterior LLRs of one batch,
+                    # split by the true bit value, as fixed-bin histograms
+                    d["llr_hist"] = _llr_histograms(
+                        spec, code_name, p, max_iter, alpha, seed=spec.seed
+                    )
                 results[code_name][key] = d
                 total_trials += d["trials"]
                 if verbose:
