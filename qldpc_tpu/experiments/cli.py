@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    import qldpc_tpu
+
+    qldpc_tpu.enable_compilation_cache()
     args = build_parser().parse_args(argv)
     if args.cmd == "presets":
         for name, spec in PRESETS.items():
