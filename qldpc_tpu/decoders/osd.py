@@ -72,6 +72,9 @@ class OSDConfig:
     max_combinations: int | None = None
     extra_positions: int = 10  # test set size = order + extra_positions
     dtype: str = "float32"
+    backend: str = "lanes"  # "lanes" (batch-in-lanes elimination) | "vmap"
+    chunk: int = 64  # OSD-e: samples per lax.map chunk (bounds the
+    # (chunk x patterns x m) pattern-search workspace)
 
 
 class OSDDecoder:
@@ -100,7 +103,30 @@ class OSDDecoder:
         else:
             self.num_test = 0
             self._patterns = None
-        self._decode = jax.jit(jax.vmap(self._osd_single))
+        if config.order == 0 and config.backend == "lanes":
+            self._decode = jax.jit(self._osd0_lanes)
+        elif config.order > 0 and config.chunk > 0:
+            self._decode = jax.jit(self._osd_chunked)
+        else:
+            self._decode = jax.jit(jax.vmap(self._osd_single))
+
+    def _osd_chunked(self, syndromes, llrs, hard):
+        """vmap in bounded chunks via lax.map — caps the OSD-e pattern-search
+        workspace at (chunk x C x m) instead of (batch x C x m)."""
+        B = syndromes.shape[0]
+        ch = self.config.chunk
+        pad = (-B) % ch
+        pad_args = lambda x: jnp.concatenate(
+            [x, jnp.repeat(x[:1], pad, axis=0)], axis=0
+        ) if pad else x
+        s, l, h = pad_args(syndromes), pad_args(llrs), pad_args(hard)
+        s = s.reshape(-1, ch, *s.shape[1:])
+        l = l.reshape(-1, ch, *l.shape[1:])
+        h = h.reshape(-1, ch, *h.shape[1:])
+        out = jax.lax.map(
+            lambda args: jax.vmap(self._osd_single)(*args), (s, l, h)
+        )
+        return out.reshape(-1, self.n)[:B]
 
     # ---- bit packing --------------------------------------------------------
     def _pack_rows(self, bits: jax.Array) -> jax.Array:
@@ -236,6 +262,103 @@ class OSDDecoder:
         e_perm_best = e_full[:n].astype(jnp.uint32)
 
         corr = jnp.zeros(n, jnp.uint32).at[order].set(e_perm_best)
+        return ((hard + corr.astype(jnp.int32)) % 2).astype(jnp.int8)
+
+    # ---- batch-in-lanes OSD-0 ----------------------------------------------
+    # The vmapped single-sample elimination leaves the batch as the leading
+    # axis, so every per-column row operation runs on tiny (m, n_words)
+    # tiles. This path keeps the batch in the LANE dimension throughout:
+    # state is (m, n_words, B) and per-column pivot selection/swap/eliminate
+    # are pure masked elementwise ops + reductions over the row axis — no
+    # per-sample dynamic indexing anywhere.
+    def _pack_lanes(self, Hp: jax.Array) -> jax.Array:
+        """(B, m, n) 0/1 -> (m, n_words, B) uint32."""
+        B = Hp.shape[0]
+        pad = self.n_words * _WORD - self.n
+        bits = jnp.pad(Hp.astype(jnp.uint32), ((0, 0), (0, 0), (0, pad)))
+        bits = bits.reshape(B, self.m, self.n_words, _WORD)
+        shifts = jnp.arange(_WORD, dtype=jnp.uint32)
+        packed = jnp.sum(bits << shifts, axis=-1).astype(jnp.uint32)
+        return packed.transpose(1, 2, 0)
+
+    def _eliminate_lanes(self, A: jax.Array, b: jax.Array):
+        """Masked full RREF, batch in lanes.
+
+        A (m, n_words, B) uint32, b (m, B) uint32. Pivot choice per lane uses
+        a cumsum-based first-hit one-hot; the row swap is a masked XOR-swap
+        (A ^= (e_r + e_p) (x) (A_r ^ A_p)); elimination XORs the pivot row
+        into every other row holding the bit. Returns (A, b, rank (B,),
+        piv_col (m, B) int32).
+        """
+        m = self.m
+        row_ids = jnp.arange(m)[:, None]  # (m, 1)
+
+        def step(col, state):
+            A, b, rank, piv_col = state
+            w = col // _WORD
+            bit = (col % _WORD).astype(jnp.uint32)
+            word = jax.lax.dynamic_index_in_dim(A, w, axis=1, keepdims=False)
+            bits = (word >> bit) & 1  # (m, B)
+            cand = (bits == 1) & (row_ids >= rank[None, :])
+            has = jnp.any(cand, axis=0)  # (B,)
+            ps = jnp.cumsum(cand.astype(jnp.int32), axis=0)
+            oh_p = cand & (ps == 1)  # first eligible row per lane
+            oh_r = row_ids == rank[None, :]
+
+            au = lambda x: x.astype(jnp.uint32)
+            pivrow = jnp.sum(A * au(oh_p)[:, None, :], axis=0, dtype=jnp.uint32)  # (nw, B)
+            rankrow = jnp.sum(A * au(oh_r)[:, None, :], axis=0, dtype=jnp.uint32)
+            diff = pivrow ^ rankrow
+            swap = au((oh_p ^ oh_r) & has[None, :])
+            A = A ^ (swap[:, None, :] * diff[None, :, :])
+            pb = jnp.sum(b * au(oh_p), axis=0, dtype=jnp.uint32)
+            rb = jnp.sum(b * au(oh_r), axis=0, dtype=jnp.uint32)
+            b = b ^ (swap * (pb ^ rb)[None, :])
+
+            word2 = jax.lax.dynamic_index_in_dim(A, w, axis=1, keepdims=False)
+            bits2 = (word2 >> bit) & 1
+            elim = au((bits2 == 1) & ~oh_r & has[None, :])
+            newpiv = jnp.sum(A * au(oh_r)[:, None, :], axis=0, dtype=jnp.uint32)
+            newpb = jnp.sum(b * au(oh_r), axis=0, dtype=jnp.uint32)
+            A = A ^ (elim[:, None, :] * newpiv[None, :, :])
+            b = b ^ (elim * newpb[None, :])
+
+            piv_col = jnp.where(oh_r & has[None, :], jnp.int32(col), piv_col)
+            rank = rank + has.astype(rank.dtype)
+            return A, b, rank, piv_col
+
+        B = A.shape[-1]
+        piv0 = jnp.full((m, B), -1, jnp.int32)
+        return jax.lax.fori_loop(
+            0, self.n, step, (A, b, jnp.zeros((B,), jnp.int32), piv0)
+        )
+
+    def _osd0_lanes(self, syndromes, llrs, hard):
+        n, m = self.n, self.m
+        B = syndromes.shape[0]
+        hard = hard.astype(jnp.int32)
+        resid = (
+            syndromes.astype(jnp.int32)
+            + jnp.mod(
+                jnp.dot(hard.astype(jnp.float32), self._Hf.T), 2.0
+            ).astype(jnp.int32)
+        ) % 2
+
+        order = jnp.argsort(jnp.abs(llrs), axis=1, stable=True)  # (B, n)
+        Hp = jnp.take(self._H, order, axis=1)  # vmapped column permutation:
+        # self._H (m, n); order (B, n) -> (m, B, n) -> (B, m, n)
+        Hp = Hp.transpose(1, 0, 2)
+        A = self._pack_lanes(Hp)
+        A, bb, rank, piv_col = self._eliminate_lanes(
+            A, resid.T.astype(jnp.uint32)
+        )
+
+        piv_bt = piv_col.T  # (B, m)
+        b_bt = bb.T  # (B, m)
+        tgt = jnp.where(piv_bt >= 0, piv_bt, n)
+        bidx = jnp.arange(B)[:, None]
+        e_perm = jnp.zeros((B, n + 1), jnp.uint32).at[bidx, tgt].set(b_bt)[:, :n]
+        corr = jnp.zeros((B, n), jnp.uint32).at[bidx, order].set(e_perm)
         return ((hard + corr.astype(jnp.int32)) % 2).astype(jnp.int8)
 
     def __call__(self, syndromes, llrs, hard) -> jax.Array:
