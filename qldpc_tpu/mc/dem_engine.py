@@ -131,6 +131,7 @@ class DEMEngine:
                 hist_bp_error=hist(logical & conv),
                 hist_osd_error=hist(logical & ~conv),
             )
+            counters = jax.tree.map(lambda x: x.astype(jnp.int32), counters)
             return jax.tree.map(partial(jax.lax.psum, axis_name=BATCH_AXIS), counters)
 
         sharded = jax.shard_map(

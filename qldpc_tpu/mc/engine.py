@@ -236,7 +236,12 @@ class MonteCarloEngine:
             valid = sample_ids < n_valid
             counters = self._classify(errors, final, syn, bp_res, valid)
             counters = counters._replace(osd_overflow=overflow)
+            # pin int32: jnp.sum promotes int32->int64 under x64, which would
+            # break the fused fori_loop carry
+            counters = jax.tree.map(lambda x: x.astype(jnp.int32), counters)
             return jax.tree.map(partial(jax.lax.psum, axis_name=BATCH_AXIS), counters)
+
+        self._local_step = local_step
 
         sharded = jax.shard_map(
             local_step,
@@ -245,7 +250,39 @@ class MonteCarloEngine:
             out_specs=P(),
             check_vma=False,
         )
+
+        self._multi_cache = {}
         return jax.jit(sharded)
+
+    def _batch_fn_multi(self, n_batches: int):
+        """Fused variant: all batches of one error rate inside a single
+        dispatched program (fori_loop over batches, one psum'd counter bundle
+        out) — removes per-batch host->device round trips, which dominate on
+        high-latency links."""
+        fn = self._multi_cache.get(n_batches)
+        if fn is not None:
+            return fn
+        B = self.config.batch_size
+
+        def local_multi(key, p, trials):
+            def body(b, tot):
+                kb = jax.random.fold_in(key, b)
+                n_valid = jnp.minimum(B, trials - b * B)
+                return tot + self._local_step(kb, p, n_valid)
+
+            return jax.lax.fori_loop(0, n_batches, body, zeros_counters())
+
+        fn = jax.jit(
+            jax.shard_map(
+                local_multi,
+                mesh=self.mesh,
+                in_specs=(P(), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        self._multi_cache[n_batches] = fn
+        return fn
 
     # -------------------------------------------------------------------- run
     def run_rate(
@@ -255,8 +292,15 @@ class MonteCarloEngine:
         """Accumulate `trials` samples at one error rate."""
         B = self.config.batch_size
         n_batches = -(-trials // B)
-        total = init if init is not None else zeros_counters()
         key = jax.random.key(seed)
+        if on_batch is None and start_batch == 0 and init is None:
+            # single fused dispatch for the whole rate (same RNG stream as
+            # the per-batch path: fold_in(fold_in(key, hash(p)), b))
+            kp = jax.random.fold_in(key, hash(p) % (2**31))
+            return self._batch_fn_multi(n_batches)(
+                kp, jnp.float32(p), jnp.int32(trials)
+            )
+        total = init if init is not None else zeros_counters()
         for b in range(start_batch, n_batches):
             done = b * B
             n_valid = min(B, trials - done)
