@@ -268,6 +268,20 @@ class BPDecoder:
         from qldpc_tpu.ops.bp_pallas import PallasBPKernel
 
         cfg = self.config
+        g = self.graph
+        # the kernel keeps its one-hot (E', n) tables in VMEM; very large
+        # graphs (big space-time / DEM matrices) exceed the ~16 MB budget —
+        # fall back to the XLA scan path rather than failing at compile time
+        table_bytes = 2 * (g.dc_max * g.m) * g.n * 4
+        if table_bytes > 6 * 1024 * 1024:
+            import warnings
+
+            warnings.warn(
+                f"pallas BP tables would need {table_bytes/2**20:.1f} MiB "
+                "VMEM; falling back to the XLA backend for this graph",
+                stacklevel=3,
+            )
+            return self._build()
         kernel = PallasBPKernel(
             self.graph,
             max_iter=cfg.max_iter,

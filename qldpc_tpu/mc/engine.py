@@ -254,20 +254,22 @@ class MonteCarloEngine:
         self._multi_cache = {}
         return jax.jit(sharded)
 
-    def _batch_fn_multi(self, n_batches: int):
-        """Fused variant: all batches of one error rate inside a single
-        dispatched program (fori_loop over batches, one psum'd counter bundle
-        out) — removes per-batch host->device round trips, which dominate on
-        high-latency links."""
+    def _batch_fn_multi_offset(self, n_batches: int):
+        """Fused variant: ``n_batches`` batches inside a single dispatched
+        program (fori_loop with one psum'd counter bundle out) — removes
+        per-batch host->device round trips, which dominate on high-latency
+        links. ``offset`` shifts the global batch index for RNG and validity
+        so large sweeps can be split across several dispatches."""
         fn = self._multi_cache.get(n_batches)
         if fn is not None:
             return fn
         B = self.config.batch_size
 
-        def local_multi(key, p, trials):
-            def body(b, tot):
+        def local_multi(key, p, trials, offset):
+            def body(i, tot):
+                b = offset + i
                 kb = jax.random.fold_in(key, b)
-                n_valid = jnp.minimum(B, trials - b * B)
+                n_valid = jnp.clip(trials - b * B, 0, B)
                 return tot + self._local_step(kb, p, n_valid)
 
             return jax.lax.fori_loop(0, n_batches, body, zeros_counters())
@@ -276,7 +278,7 @@ class MonteCarloEngine:
             jax.shard_map(
                 local_multi,
                 mesh=self.mesh,
-                in_specs=(P(), P(), P()),
+                in_specs=(P(), P(), P(), P()),
                 out_specs=P(),
                 check_vma=False,
             )
@@ -293,20 +295,38 @@ class MonteCarloEngine:
         B = self.config.batch_size
         n_batches = -(-trials // B)
         key = jax.random.key(seed)
+        to_host = lambda c: jax.tree.map(
+            lambda x: np.asarray(x, dtype=np.int64), c
+        )
         if on_batch is None and start_batch == 0 and init is None:
-            # single fused dispatch for the whole rate (same RNG stream as
-            # the per-batch path: fold_in(fold_in(key, hash(p)), b))
+            # fused dispatches (same RNG stream as the per-batch path:
+            # fold_in(fold_in(key, hash(p)), b)); device counters are int32,
+            # so cap the per-dispatch trial count and accumulate on the host
+            # in int64 (sum_iterations would overflow int32 past ~1e7 trials)
             kp = jax.random.fold_in(key, hash(p) % (2**31))
-            return self._batch_fn_multi(n_batches)(
-                kp, jnp.float32(p), jnp.int32(trials)
+            max_fused = max(
+                1, (2**30) // (B * max(self.config.bp.max_iter, 1))
             )
-        total = init if init is not None else zeros_counters()
+            total = to_host(zeros_counters())
+            b = 0
+            while b < n_batches:
+                nb = min(max_fused, n_batches - b)
+                # shift the key so batch b inside this dispatch folds b+offset
+                chunk = self._batch_fn_multi_offset(nb)(
+                    kp, jnp.float32(p), jnp.int32(trials), jnp.int32(b)
+                )
+                total = total + to_host(chunk)
+                b += nb
+            return total
+        total = (
+            to_host(init) if init is not None else to_host(zeros_counters())
+        )
         for b in range(start_batch, n_batches):
             done = b * B
             n_valid = min(B, trials - done)
             kb = jax.random.fold_in(jax.random.fold_in(key, hash(p) % (2**31)), b)
             counters = self._batch_fn(kb, jnp.float32(p), jnp.int32(n_valid))
-            total = total + counters
+            total = total + to_host(counters)
             if on_batch is not None:
                 on_batch(b, n_batches, total)
         return total
