@@ -47,6 +47,9 @@ class ExperimentSpec:
     bp_method: str = "sum-product"
     bp_max_iter: int = 50
     bp_chunk_size: int = 0
+    bp_backend: str = "xla"  # "xla" | "pallas"
+    osd_backend: str = "lanes"  # "lanes" | "vmap"
+    osd_fraction: float = 1.0
     alpha: float = 1.0
     damping: float = 1.0
     clip_llr: float | None = None

@@ -36,13 +36,18 @@ def _bp_config(spec: ExperimentSpec, max_iter=None, alpha=None) -> BPConfig:
         damping=spec.damping,
         clip_llr=spec.clip_llr,
         chunk_size=spec.bp_chunk_size,
+        backend=spec.bp_backend,
     )
 
 
 def _osd_config(spec: ExperimentSpec) -> OSDConfig | None:
     if spec.osd_order is None:
         return None
-    return OSDConfig(order=spec.osd_order, max_combinations=spec.osd_max_combinations)
+    return OSDConfig(
+        order=spec.osd_order,
+        max_combinations=spec.osd_max_combinations,
+        backend=spec.osd_backend,
+    )
 
 
 def build_engine(
@@ -58,6 +63,7 @@ def build_engine(
             n_rounds=spec.n_rounds,
             syndrome_flip_rate=spec.syndrome_flip_rate,
             batch_size=spec.batch_size,
+            osd_fraction=spec.osd_fraction,
         ),
         mesh=mesh,
     )
