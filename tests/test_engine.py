@@ -132,3 +132,18 @@ class TestEngine:
         d1, d2 = counters_to_dict(c_full), counters_to_dict(c_again)
         assert d1["trials"] == d2["trials"] == 512
         assert d1["ler"] == d2["ler"]
+
+
+class TestBasisZ:
+    def test_z_basis_decoding(self):
+        """basis='z' decodes Hz with Lz classification (X-error experiment)."""
+        eng = MonteCarloEngine(
+            get_code("[[72, 12, 6]]"),
+            EngineConfig(
+                bp=BPConfig(max_iter=30), osd=OSDConfig(order=0),
+                batch_size=256, basis="z",
+            ),
+        )
+        d = counters_to_dict(eng.run_rate(0.05, trials=512, seed=0))
+        assert d["trials"] == 512
+        assert 0 < d["ler"] < 1  # BB codes are CSS-symmetric: comparable LER
