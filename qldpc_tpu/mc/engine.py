@@ -53,6 +53,9 @@ class EngineConfig:
     osd_fraction: float = 1.0  # per-batch OSD capacity as a fraction of the
     # local batch; non-converged samples beyond it keep the BP output and are
     # tallied in the osd_overflow counter (1.0 == exact reference behavior)
+    fused_dispatch: bool = False  # True: all batches of a rate in one
+    # dispatched program (fewest host round trips — for very-high-latency
+    # links); False: async pipelined per-batch dispatches (faster on device)
 
 
 @dataclasses.dataclass
@@ -299,24 +302,39 @@ class MonteCarloEngine:
             lambda x: np.asarray(x, dtype=np.int64), c
         )
         if on_batch is None and start_batch == 0 and init is None:
-            # fused dispatches (same RNG stream as the per-batch path:
-            # fold_in(fold_in(key, hash(p)), b)); device counters are int32,
-            # so cap the per-dispatch trial count and accumulate on the host
-            # in int64 (sum_iterations would overflow int32 past ~1e7 trials)
             kp = jax.random.fold_in(key, hash(p) % (2**31))
-            max_fused = max(
-                1, (2**30) // (B * max(self.config.bp.max_iter, 1))
-            )
-            total = to_host(zeros_counters())
-            b = 0
-            while b < n_batches:
-                nb = min(max_fused, n_batches - b)
-                # shift the key so batch b inside this dispatch folds b+offset
-                chunk = self._batch_fn_multi_offset(nb)(
-                    kp, jnp.float32(p), jnp.int32(trials), jnp.int32(b)
+            if self.config.fused_dispatch:
+                # all batches inside one (or a few) dispatched programs;
+                # device counters are int32, so cap per-dispatch trials and
+                # accumulate on the host in int64 (sum_iterations would
+                # overflow int32 past ~1e7 trials)
+                max_fused = max(
+                    1, (2**30) // (B * max(self.config.bp.max_iter, 1))
                 )
-                total = total + to_host(chunk)
-                b += nb
+                total = to_host(zeros_counters())
+                b = 0
+                while b < n_batches:
+                    nb = min(max_fused, n_batches - b)
+                    chunk = self._batch_fn_multi_offset(nb)(
+                        kp, jnp.float32(p), jnp.int32(trials), jnp.int32(b)
+                    )
+                    total = total + to_host(chunk)
+                    b += nb
+                return total
+            # async pipelined per-batch dispatches: queue everything, block
+            # once, then sum on the host in int64 (per-batch int32 counters
+            # cannot overflow within one batch)
+            outs = []
+            for b in range(n_batches):
+                n_valid = min(B, trials - b * B)
+                kb = jax.random.fold_in(kp, b)
+                outs.append(
+                    self._batch_fn(kb, jnp.float32(p), jnp.int32(n_valid))
+                )
+            jax.block_until_ready(outs)
+            total = to_host(zeros_counters())
+            for c in outs:
+                total = total + to_host(c)
             return total
         total = (
             to_host(init) if init is not None else to_host(zeros_counters())
