@@ -53,9 +53,9 @@ class EngineConfig:
     osd_fraction: float = 1.0  # per-batch OSD capacity as a fraction of the
     # local batch; non-converged samples beyond it keep the BP output and are
     # tallied in the osd_overflow counter (1.0 == exact reference behavior)
-    fused_dispatch: bool = False  # True: all batches of a rate in one
-    # dispatched program (fewest host round trips — for very-high-latency
-    # links); False: async pipelined per-batch dispatches (faster on device)
+    fused_dispatch: bool = True  # True: all batches of a rate in one
+    # dispatched program (fewest host round trips; robust on high-latency
+    # links); False: async pipelined per-batch dispatches
 
 
 @dataclasses.dataclass
