@@ -69,3 +69,20 @@ def test_pallas_ragged_batch(rng):
     assert np.asarray(pal.hard).shape == (100, 7)
     assert np.array_equal(np.asarray(xla.converged), np.asarray(pal.converged))
     assert np.array_equal(np.asarray(xla.hard), np.asarray(pal.hard))
+
+
+def test_pallas_falls_back_on_large_graph(rng):
+    """Graphs whose one-hot tables exceed the VMEM budget must warn and use
+    the XLA path instead of failing at compile time."""
+    import warnings
+
+    code = get_code("[[144, 12, 12]]")
+    Hst = space_time_matrix(code.Hx, 12)  # (864, 2592): tables ~70 MiB
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dec = BPDecoder(Hst, BPConfig(max_iter=5, backend="pallas"))
+        assert any("falling back" in str(x.message) for x in w)
+    syn = sample(rng, Hst, 0.001, batch=8)
+    prior = np.full(Hst.shape[1], np.log(0.999 / 0.001), np.float32)
+    res = dec(syn, prior)
+    assert np.asarray(res.hard).shape == (8, Hst.shape[1])
