@@ -103,8 +103,10 @@ class OSDDecoder:
         else:
             self.num_test = 0
             self._patterns = None
-        if config.order == 0 and config.backend == "lanes":
-            self._decode = jax.jit(self._osd0_lanes)
+        if config.backend == "lanes":
+            self._decode = jax.jit(
+                self._osd0_lanes if config.order == 0 else self._osde_lanes
+            )
         elif config.order > 0 and config.chunk > 0:
             self._decode = jax.jit(self._osd_chunked)
         else:
@@ -333,8 +335,12 @@ class OSDDecoder:
             0, self.n, step, (A, b, jnp.zeros((B,), jnp.int32), piv0)
         )
 
-    def _osd0_lanes(self, syndromes, llrs, hard):
-        n, m = self.n, self.m
+    def _lanes_core(self, syndromes, llrs, hard):
+        """Shared lanes pipeline: permute, pack, eliminate, OSD-0 solve.
+
+        Returns (order, A_bt (B,m,nw), b_bt (B,m), piv_bt (B,m), solution).
+        """
+        n = self.n
         B = syndromes.shape[0]
         hard = hard.astype(jnp.int32)
         resid = (
@@ -345,8 +351,7 @@ class OSDDecoder:
         ) % 2
 
         order = jnp.argsort(jnp.abs(llrs), axis=1, stable=True)  # (B, n)
-        Hp = jnp.take(self._H, order, axis=1)  # vmapped column permutation:
-        # self._H (m, n); order (B, n) -> (m, B, n) -> (B, m, n)
+        Hp = jnp.take(self._H, order, axis=1)  # (m, B, n) -> (B, m, n)
         Hp = Hp.transpose(1, 0, 2)
         A = self._pack_lanes(Hp)
         A, bb, rank, piv_col = self._eliminate_lanes(
@@ -359,7 +364,110 @@ class OSDDecoder:
         bidx = jnp.arange(B)[:, None]
         e_perm = jnp.zeros((B, n + 1), jnp.uint32).at[bidx, tgt].set(b_bt)[:, :n]
         corr = jnp.zeros((B, n), jnp.uint32).at[bidx, order].set(e_perm)
-        return ((hard + corr.astype(jnp.int32)) % 2).astype(jnp.int8)
+        sol = ((hard + corr.astype(jnp.int32)) % 2).astype(jnp.int8)
+        return order, A.transpose(2, 0, 1), b_bt, piv_bt, sol
+
+    def _osd0_lanes(self, syndromes, llrs, hard):
+        return self._lanes_core(syndromes, llrs, hard)[-1]
+
+    def _search_single(self, A, bvec, piv_col, ordering, w_perm):
+        """OSD-e pattern search from a precomputed RREF (permuted coords).
+
+        A (m, n_words) uint32, bvec (m,), piv_col (m,) int32, ordering (n,),
+        w_perm (n,) = |llr| * (1 - 2*hard) in permuted coords. Returns the
+        best correction e_perm (n,) uint32 in permuted coords (zero pattern =
+        OSD-0 listed first, so reference tie-breaking is preserved).
+        """
+        n = self.n
+        tgt = jnp.where(piv_col >= 0, piv_col, n)
+        is_piv = jnp.zeros(n + 1, bool).at[tgt].set(piv_col >= 0)[:n]
+        col_ids = jnp.arange(n)
+        test_cols = jnp.argsort(
+            jnp.where(is_piv, n + col_ids, col_ids), stable=True
+        )[: self.num_test]
+        test_valid = ~is_piv[test_cols]
+
+        words = A[:, test_cols // _WORD]  # (m, t)
+        Tmat = ((words >> (test_cols % _WORD).astype(jnp.uint32)) & 1).astype(
+            jnp.float32
+        )
+        Tmat = Tmat * test_valid[None, :].astype(jnp.float32)
+
+        F = self._patterns * test_valid[None, :].astype(jnp.float32)  # (C, t)
+        piv_vals = jnp.mod(F @ Tmat.T + bvec.astype(jnp.float32)[None, :], 2.0)
+
+        w_test = w_perm[test_cols] * test_valid
+        w_piv = jnp.where(piv_col >= 0, w_perm[jnp.clip(piv_col, 0, n - 1)], 0.0)
+        costs = F @ w_test + piv_vals @ w_piv
+        best = jnp.argmin(costs)
+
+        f_best = self._patterns[best] * test_valid.astype(jnp.float32)
+        pv_best = piv_vals[best]
+        e_full = jnp.zeros(n + 1, jnp.float32).at[test_cols].set(f_best)
+        e_full = e_full.at[tgt].set(jnp.where(piv_col >= 0, pv_best, 0.0))
+        return e_full[:n].astype(jnp.uint32)
+
+    def _osde_lanes(self, syndromes, llrs, hard):
+        """OSD-e on the lanes pipeline, searching only inconsistent systems.
+
+        Consistent systems return OSD-0 untouched (the reference's early
+        return, OSD_enhanced.py:59). Inconsistent samples are sorted to the
+        front and pattern-searched in lax.map chunks; all-consistent chunks
+        skip the search entirely via lax.cond, so the (rare) combination
+        search costs nothing on clean-syndrome workloads.
+        """
+        n = self.n
+        B = syndromes.shape[0]
+        order, A_bt, b_bt, piv_bt, sol0 = self._lanes_core(syndromes, llrs, hard)
+        consistent = jnp.all((piv_bt >= 0) | (b_bt == 0), axis=1)  # (B,)
+
+        hard_i = hard.astype(jnp.int32)
+        w = jnp.abs(llrs) * (1.0 - 2.0 * hard_i.astype(llrs.dtype))
+        w_perm = jnp.take_along_axis(w, order, axis=1)  # (B, n)
+
+        sel = jnp.argsort(consistent, stable=True)  # inconsistent first
+        ch = max(1, min(self.config.chunk, B))
+        pad = (-B) % ch
+        padded = lambda x: (
+            jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+            if pad
+            else x
+        )
+        gather = lambda x: padded(x[sel]).reshape(-1, ch, *x.shape[1:])
+        A_c, b_c, piv_c, ord_c, w_c = map(
+            gather, (A_bt, b_bt, piv_bt, order, w_perm)
+        )
+        active_c = gather(~consistent)
+
+        def chunk_fn(args):
+            A, bvec, piv, ordc, wp, active = args
+
+            def do_search(_):
+                return jax.vmap(self._search_single)(A, bvec, piv, ordc, wp)
+
+            return jax.lax.cond(
+                jnp.any(active),
+                do_search,
+                lambda _: jnp.zeros((ch, n), jnp.uint32),
+                None,
+            )
+
+        e_perm_best = jax.lax.map(
+            chunk_fn, (A_c, b_c, piv_c, ord_c, w_c, active_c)
+        ).reshape(-1, n)[:B]
+
+        # un-permute the searched corrections and overwrite only the
+        # genuinely inconsistent samples
+        bidx = jnp.arange(B)[:, None]
+        order_sel = order[sel]
+        corr = (
+            jnp.zeros((B, n), jnp.uint32)
+            .at[bidx, order_sel]
+            .set(e_perm_best)
+        )
+        sol_search = ((hard_i[sel] + corr.astype(jnp.int32)) % 2).astype(jnp.int8)
+        use = (~consistent)[sel][:, None]
+        return sol0.at[sel].set(jnp.where(use, sol_search, sol0[sel]))
 
     def __call__(self, syndromes, llrs, hard) -> jax.Array:
         return self._decode(

@@ -114,3 +114,29 @@ class TestOSDEnhanced:
         a = np.asarray(OSDDecoder(H, OSDConfig(order=0))(syndromes, llrs, hard))
         b = np.asarray(OSDDecoder(H, OSDConfig(order=3))(syndromes, llrs, hard))
         assert np.array_equal(a, b)  # consistent systems
+
+
+class TestOSDeBackendEquivalence:
+    def test_lanes_matches_vmap_on_inconsistent(self, rng):
+        """Both OSD-e backends must produce identical solutions, including on
+        syndrome-noise (inconsistent) inputs."""
+        code = get_code("steane")
+        H = code.Hx
+        n = code.n
+        errors = (rng.random((40, n)) < 0.12).astype(np.int8)
+        syndromes = (errors @ H.T) % 2
+        flip = rng.integers(0, H.shape[0], size=40)
+        syndromes[np.arange(40), flip] ^= 1
+        res = BPDecoder(H, BPConfig(max_iter=8))(syndromes, np.full(n, 2.0))
+        llrs, hard = np.asarray(res.llrs), np.asarray(res.hard)
+        a = np.asarray(
+            OSDDecoder(H, OSDConfig(order=2, backend="lanes", chunk=16))(
+                syndromes, llrs, hard
+            )
+        )
+        b = np.asarray(
+            OSDDecoder(H, OSDConfig(order=2, backend="vmap", chunk=16))(
+                syndromes, llrs, hard
+            )
+        )
+        assert np.array_equal(a, b)
