@@ -181,6 +181,34 @@ def _save_and_plot(spec: ExperimentSpec, results: dict, out: Path) -> None:
         results=np.array(results, dtype=object),
         allow_pickle=True,
     )
+    _save_reference_format(spec, results, out)
+
+
+def _save_reference_format(spec: ExperimentSpec, results: dict, out: Path) -> None:
+    """Also emit the reference's archive schema (studies/study.py:105):
+    ``physicalErrorRates`` + ``results`` = {code: {ler, BPs_fault,
+    BPs_miscorrected, incorrectable, degeneracies}} so reference analysis
+    scripts (loadResults.py style) consume our output unchanged."""
+    codes = [c for c in results if c != "_meta"]
+    if not codes or spec.max_iter_grid:
+        return
+    rates0 = sorted(results[codes[0]])
+    if not all(sorted(results[c]) == rates0 for c in codes):
+        return  # per-code grids don't fit the common-grid schema
+    ref = {}
+    for c in codes:
+        ref[c] = {
+            "ler": [results[c][p]["ler"] for p in rates0],
+            "BPs_fault": [results[c][p]["BPs_fault"] for p in rates0],
+            "BPs_miscorrected": [results[c][p]["BPs_miscorrected"] for p in rates0],
+            "incorrectable": [results[c][p]["incorrectable"] for p in rates0],
+            "degeneracies": [results[c][p]["degeneracy_count"] for p in rates0],
+        }
+    np.savez(
+        out / f"{spec.name}_reference_format.npz",
+        physicalErrorRates=np.array(rates0),
+        results=np.array(ref, dtype=object),
+    )
     codes = [c for c in results if c != "_meta"]
     if not codes:
         return

@@ -74,3 +74,19 @@ class TestRunAndIO:
         results = run_experiment(spec, verbose=False, checkpoint=False)
         keys = [k for k in results["steane"]]
         assert (5, 0.01) in keys and (10, 0.01) in keys
+
+
+def test_reference_format_export(tmp_path):
+    """The reference's archive schema is emitted alongside our format and
+    parses with the same loader that reads real reference archives."""
+    from qldpc_tpu.experiments import get_preset, run_experiment
+    from qldpc_tpu.experiments.results_io import load_reference_archive
+
+    spec = get_preset("study").replace(
+        codes=["steane"], trials=64, batch_size=64,
+        error_rates=[0.02, 0.05], output_dir=str(tmp_path),
+    )
+    run_experiment(spec, verbose=False, checkpoint=False)
+    arch = load_reference_archive(tmp_path / "study_reference_format.npz")
+    assert list(arch["physicalErrorRates"]) == [0.02, 0.05]
+    assert len(arch["steane"]["ler"]) == 2
