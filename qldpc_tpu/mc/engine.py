@@ -98,13 +98,28 @@ class MonteCarloEngine:
         self.n_vars = self._H_dec.shape[1]
         self.m_checks = self._H_dec.shape[0]
 
-        self._bp = BPDecoder(self._H_dec, config.bp)
+        self._bp = self._make_bp_decoder(H)
         self._osd = (
             OSDDecoder(self._H_dec, config.osd) if config.osd is not None else None
         )
         self._Hf = jnp.asarray(self._H_dec, jnp.float32)
         self._Lf = jnp.asarray(L, jnp.float32)
         self._batch_fn = self._build()
+
+    def _make_bp_decoder(self, H_base):
+        """Space-time sweeps use the structured decoder (no materialized
+        kron; base-code tables only — decoders/spacetime_bp.py) whenever the
+        configuration allows; everything else (and unsupported configs)
+        decodes the materialized matrix."""
+        cfg = self.config
+        if cfg.channel == "space-time" and cfg.bp.method == "sum-product":
+            try:
+                from qldpc_tpu.decoders.spacetime_bp import SpaceTimeBPDecoder
+
+                return SpaceTimeBPDecoder(H_base, self.n_rounds, cfg.bp)
+            except NotImplementedError:
+                pass
+        return BPDecoder(self._H_dec, cfg.bp)
 
     # ------------------------------------------------------------------ build
     def _sample(self, key, p, batch):
