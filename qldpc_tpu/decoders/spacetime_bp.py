@@ -46,8 +46,6 @@ class SpaceTimeBPDecoder:
     """
 
     def __init__(self, H_base: np.ndarray, n_rounds: int, config: BPConfig = BPConfig()):
-        if config.method != "sum-product":
-            raise NotImplementedError("space-time decoder: sum-product only (so far)")
         self.config = config
         self.T = n_rounds
         g = TannerGraph.from_H(H_base)
@@ -81,19 +79,34 @@ class SpaceTimeBPDecoder:
             B = Qs.shape[0]
 
             # ---- check update over dc+2 slots --------------------------------
-            t_sp = jnp.tanh(Qs * 0.5).reshape(B, T, m, dc)
-            t_a = jnp.tanh(Qa * 0.5)
-            t_b = jnp.tanh(Qb * 0.5)  # Qb[:, 0] pinned to BIG -> tanh == 1
-            tt = jnp.concatenate(
-                [t_sp, t_a[..., None], t_b[..., None]], axis=-1
-            )  # (B, T, m, dc+2)
-            others = self._others_product(tt)
-            clipped = jnp.clip(
-                others * jnp.repeat(ssign[..., None], dc + 2, axis=-1),
-                -_TANH_CLIP,
-                _TANH_CLIP,
-            )
-            R = 2.0 * jnp.arctanh(clipped)
+            qq = jnp.concatenate(
+                [Qs.reshape(B, T, m, dc), Qa[..., None], Qb[..., None]], axis=-1
+            )  # (B, T, m, dc+2); Qb[:, 0] pinned to BIG (neutral)
+            ssign_full = jnp.repeat(ssign[..., None], dc + 2, axis=-1)
+            if cfg.method == "sum-product":
+                tt = jnp.tanh(qq * 0.5)
+                others = self._others_product(tt)
+                clipped = jnp.clip(others * ssign_full, -_TANH_CLIP, _TANH_CLIP)
+                R = 2.0 * jnp.arctanh(clipped)
+            else:  # min-sum (same formulation as decoders/bp.py)
+                sgn = jnp.where(qq >= 0, jnp.float32(1.0), jnp.float32(-1.0))
+                r_signs = self._others_product(sgn)
+                aq = jnp.abs(qq)
+                min1 = jnp.min(aq, axis=-1, keepdims=True)
+                first_min = jax.nn.one_hot(
+                    jnp.argmin(aq, axis=-1), dc + 2, dtype=bool
+                )
+                min2 = jnp.min(
+                    jnp.where(first_min, jnp.inf, aq), axis=-1, keepdims=True
+                )
+                mags = jnp.where(
+                    aq == jnp.repeat(min1, dc + 2, axis=-1),
+                    jnp.repeat(min2, dc + 2, axis=-1),
+                    jnp.repeat(min1, dc + 2, axis=-1),
+                )
+                R = ssign_full * r_signs * mags
+            if cfg.alpha != 1.0:
+                R = R * jnp.float32(cfg.alpha)
             R_sp = R[..., :dc].reshape(B, T, E)
             R_a = R[..., dc]
             R_b = R[..., dc + 1]  # only meaningful for t >= 1

@@ -112,7 +112,7 @@ class MonteCarloEngine:
         configuration allows; everything else (and unsupported configs)
         decodes the materialized matrix."""
         cfg = self.config
-        if cfg.channel == "space-time" and cfg.bp.method == "sum-product":
+        if cfg.channel == "space-time":
             try:
                 from qldpc_tpu.decoders.spacetime_bp import SpaceTimeBPDecoder
 

@@ -79,3 +79,18 @@ def test_damped_clipped_matches_generic():
         np.asarray(generic.converged), np.asarray(structured.converged)
     )
     assert np.array_equal(np.asarray(generic.hard), np.asarray(structured.hard))
+
+
+def test_minsum_matches_generic():
+    H, errors, det, priors = make_case("steane", 3, 0.02, batch=32, seed=21)
+    Hst = space_time_matrix(H, 3)
+    kw = dict(max_iter=15, method="min-sum", alpha=0.8, damping=0.7, clip_llr=25.0)
+    generic = BPDecoder(Hst, BPConfig(**kw))(det, priors)
+    structured = SpaceTimeBPDecoder(H, 3, BPConfig(**kw))(det, priors)
+    assert np.array_equal(
+        np.asarray(generic.converged), np.asarray(structured.converged)
+    )
+    assert np.array_equal(np.asarray(generic.hard), np.asarray(structured.hard))
+    assert np.array_equal(
+        np.asarray(generic.iterations), np.asarray(structured.iterations)
+    )
