@@ -27,10 +27,12 @@ __all__ = ["shift_matrix", "bb_block", "make_bb_code"]
 
 
 def shift_matrix(size: int, power: int = 1) -> np.ndarray:
-    """Cyclic shift permutation S with S[i, (i-1) % size] = 1, raised to `power`.
+    """Cyclic shift permutation S with S[i, (i + power) % size] = 1.
 
-    The shift direction matches the convention of the reference's code files
-    (verified bit-exact against codes/*.npz produced by generateCodeMatrices.py).
+    (np.roll(eye, power, axis=1) places row i's one at column (i + power) %
+    size.) The shift direction matches the convention of the reference's code
+    files (verified bit-exact against codes/*.npz produced by
+    generateCodeMatrices.py).
     """
     return np.roll(np.eye(size, dtype=np.uint8), power, axis=1)
 

@@ -1,8 +1,16 @@
 """Ordered-statistics decoding (OSD-0 / OSD-e) on TPU.
 
 Functional parity targets (reference: decoding/OSD.py:3-72 for OSD-0;
-decoding/OSD_enhanced.py:5-224 for the order-w combination search). Semantics
-replicated exactly:
+decoding/OSD_enhanced.py:5-224 for the order-w combination search). OSD-0
+semantics are replicated exactly; the OSD-e pattern search deliberately FIXES
+a reference bug rather than replicating it: the reference's
+``recompute_solution`` (OSD_enhanced.py:134-155) re-solves pivots from the
+*un-reduced* permuted H mixed with the *reduced* syndrome, which yields
+inconsistent candidate solutions; here pivots are solved from the true RREF.
+The divergence is only reachable for syndromes outside image(H) — no shipped
+sampler produces them — and on in-image syndromes the search is bypassed by
+the early return both here and in the reference, so all shipped workloads
+agree bit-for-bit. Semantics preserved from the reference:
 
   * columns sorted by ascending |LLR| (stable), residual syndrome solved by
     full GF(2) row reduction with first-hit pivoting;

@@ -182,13 +182,18 @@ def _save_and_plot(spec: ExperimentSpec, results: dict, out: Path) -> None:
         allow_pickle=True,
     )
     _save_reference_format(spec, results, out)
+    _plot_results(spec, results, out)
 
 
 def _save_reference_format(spec: ExperimentSpec, results: dict, out: Path) -> None:
     """Also emit the reference's archive schema (studies/study.py:105):
     ``physicalErrorRates`` + ``results`` = {code: {ler, BPs_fault,
     BPs_miscorrected, incorrectable, degeneracies}} so reference analysis
-    scripts (loadResults.py style) consume our output unchanged."""
+    scripts (loadResults.py style) consume our output unchanged.
+
+    Only applies to common-grid, single-max_iter sweeps (the schema has no
+    room for iteration grids or per-code rate grids); other specs still get
+    the native npz + plots from :func:`_plot_results`."""
     codes = [c for c in results if c != "_meta"]
     if not codes or spec.max_iter_grid:
         return
@@ -209,6 +214,9 @@ def _save_reference_format(spec: ExperimentSpec, results: dict, out: Path) -> No
         physicalErrorRates=np.array(rates0),
         results=np.array(ref, dtype=object),
     )
+
+
+def _plot_results(spec: ExperimentSpec, results: dict, out: Path) -> None:
     codes = [c for c in results if c != "_meta"]
     if not codes:
         return

@@ -189,7 +189,10 @@ class MonteCarloEngine:
         s_hat = self._syndrome(final)
         sol_valid = jnp.all(s_hat == syn.astype(jnp.int8), axis=-1)
 
-        low_weight = err_weight < (self.distance // 2)
+        # strict weight < d/2 as in studies/study.py:83 — kept in integer
+        # arithmetic (2w < d) so odd distances (Steane d=3: weight-1 errors
+        # are miscorrections) match the reference exactly
+        low_weight = (2 * err_weight) < self.distance
         degenerate = ~logical & mismatch
         osd_used = ~conv if self._osd is not None else jnp.zeros_like(conv)
 
@@ -310,6 +313,12 @@ class MonteCarloEngine:
         init: Counters | None = None, on_batch=None,
     ) -> Counters:
         """Accumulate `trials` samples at one error rate."""
+        if trials >= 2**31:
+            # device-side validity arithmetic is int32 (fori carries)
+            raise ValueError(
+                f"trials={trials} exceeds int32; split the campaign into "
+                "multiple run_rate calls and sum the host-side counters"
+            )
         B = self.config.batch_size
         n_batches = -(-trials // B)
         key = jax.random.key(seed)

@@ -68,6 +68,42 @@ class TestEngine:
         lers = res.curve("ler")
         assert lers[1] > lers[0]
 
+    def test_odd_distance_miscorrection_threshold(self):
+        """Steane (d=3): a weight-1 error causing a logical fault is
+        *miscorrected* (weight < d/2, studies/study.py:83-87); weight-2+ is
+        incorrectable. Integer floor (d//2 == 1) would misclassify weight-1."""
+        import jax.numpy as jnp
+
+        from qldpc_tpu.decoders.bp import BPResult
+
+        eng = small_engine("steane", batch_size=256)
+        code = get_code("steane")
+        n = code.n
+        L = code.Lx[0]
+        for weight, expect_mis in [(1, 1), (2, 0)]:
+            errors = np.zeros((1, n), np.int8)
+            errors[0, :weight] = 1
+            final = (errors ^ L.astype(np.int8)) % 2  # off by one logical op
+            syn = (errors @ code.Hx.T) % 2
+            bp = BPResult(
+                hard=jnp.asarray(final),
+                converged=jnp.ones((1,), bool),
+                llrs=jnp.zeros((1, n), jnp.float32),
+                iterations=jnp.zeros((1,), jnp.int32),
+            )
+            c = eng._classify(
+                jnp.asarray(errors), jnp.asarray(final), jnp.asarray(syn),
+                bp, jnp.ones((1,), bool),
+            )
+            assert int(c.logical_errors) == 1
+            assert int(c.miscorrected) == expect_mis
+            assert int(c.incorrectable) == 1 - expect_mis
+
+    def test_trials_overflow_guard(self):
+        eng = small_engine()
+        with pytest.raises(ValueError, match="int32"):
+            eng.run_rate(0.01, trials=2**31)
+
     def test_histograms_sum_matches_counts(self):
         eng = small_engine()
         c = eng.run_rate(0.06, trials=512, seed=2)

@@ -74,6 +74,23 @@ class TestRunAndIO:
         results = run_experiment(spec, verbose=False, checkpoint=False)
         keys = [k for k in results["steane"]]
         assert (5, 0.01) in keys and (10, 0.01) in keys
+        # the LER-vs-iterations plot must be emitted for iteration grids
+        assert (tmp_path / "bp-iteration_ler_vs_iters.png").exists()
+
+    def test_per_code_grid_emits_panels(self, tmp_path):
+        """Per-code rate grids skip the common-grid reference export but must
+        still produce the rework-style multi-panel plot."""
+        spec = get_preset("study").replace(
+            name="grids", codes=["steane", "[[72, 12, 6]]"], trials=64,
+            batch_size=64, output_dir=str(tmp_path),
+            per_code_rates={
+                "steane": [0.02, 0.05],
+                "[[72, 12, 6]]": [0.03, 0.06],
+            },
+        )
+        run_experiment(spec, verbose=False, checkpoint=False)
+        assert (tmp_path / "grids_panels.png").exists()
+        assert not (tmp_path / "grids_reference_format.npz").exists()
 
 
 def test_reference_format_export(tmp_path):
