@@ -122,32 +122,41 @@ class MonteCarloEngine:
         return BPDecoder(self._H_dec, cfg.bp)
 
     # ------------------------------------------------------------------ build
-    def _sample(self, key, p, batch):
-        """Channel sampling; returns (errors, syndromes, priors)."""
+    def _sample(self, keys, p):
+        """Channel sampling from per-sample keys; returns (errors, syndromes,
+        priors).
+
+        ``keys`` is a (batch,) array of PRNG keys, one per sample, derived
+        from *global* sample ids — so the drawn stream is independent of the
+        mesh shape and counters are bit-identical across mesh sizes
+        (tests/test_engine.py::test_mesh_sharding_matches_single_device)."""
         cfg = self.config
         n = self.n_vars
+        draw = lambda ks, prob, size: jax.vmap(
+            lambda k: jax.random.bernoulli(k, prob, (size,))
+        )(ks).astype(jnp.int8)
         if cfg.channel == "code-capacity":
-            errors = jax.random.bernoulli(key, p, (batch, n)).astype(jnp.int8)
+            errors = draw(keys, p, n)
             syn = self._syndrome(errors)
             priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
         elif cfg.channel == "doubled":
             p2 = 2.0 * p * (1.0 - p)
-            errors = jax.random.bernoulli(key, p2, (batch, n)).astype(jnp.int8)
+            errors = draw(keys, p2, n)
             syn = self._syndrome(errors)
             # the reference decodes the doubled channel with the plain
             # log((1-p)/p) prior (paperResults.py:66-77)
             priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
         elif cfg.channel == "phenomenological":
             q = p if cfg.syndrome_flip_rate is None else cfg.syndrome_flip_rate
-            ke, kq = jax.random.split(key)
-            errors = jax.random.bernoulli(ke, p, (batch, n)).astype(jnp.int8)
-            flips = jax.random.bernoulli(kq, q, (batch, self.m_checks)).astype(jnp.int8)
+            kk = jax.vmap(jax.random.split)(keys)  # (batch, 2)
+            errors = draw(kk[:, 0], p, n)
+            flips = draw(kk[:, 1], q, self.m_checks)
             syn = (self._syndrome(errors) + flips) % 2
             priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
         elif cfg.channel == "space-time":
             q = p if cfg.syndrome_flip_rate is None else cfg.syndrome_flip_rate
             errors, syn = st.sample_space_time(
-                key, self._H_space, p, batch, self.n_rounds, q=q
+                keys, self._H_space, p, keys.shape[0], self.n_rounds, q=q
             )
             priors = st.space_time_prior_llr(
                 self.n_qubits, self._H_space.shape[0], self.n_rounds, p, q=q
@@ -231,8 +240,11 @@ class MonteCarloEngine:
 
         def local_step(key, p, n_valid):
             idx = jax.lax.axis_index(BATCH_AXIS)
-            key = jax.random.fold_in(key, idx)
-            errors, syn, priors = self._sample(key, p, local_B)
+            # per-sample keys from GLOBAL sample ids (not shard ids): the RNG
+            # stream — and therefore every counter — is mesh-shape-invariant
+            sample_ids = idx * local_B + jnp.arange(local_B)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(sample_ids)
+            errors, syn, priors = self._sample(keys, p)
             bp_res = self._bp.decode_fn(syn, priors)
             overflow = jnp.zeros((), jnp.int32)
             if self._osd is not None and k_osd >= local_B:
@@ -253,7 +265,6 @@ class MonteCarloEngine:
                 overflow = jnp.maximum(n_fail - k_osd, 0)
             else:
                 final = bp_res.hard
-            sample_ids = idx * local_B + jnp.arange(local_B)
             valid = sample_ids < n_valid
             counters = self._classify(errors, final, syn, bp_res, valid)
             counters = counters._replace(osd_overflow=overflow)

@@ -53,6 +53,10 @@ def sample_space_time(
 ) -> tuple[jax.Array, jax.Array]:
     """Sample per-round data+measurement errors and the detector syndrome.
 
+    ``key`` is either one PRNG key (shape ()) or a (batch,) array of
+    per-sample keys — the latter makes the stream independent of how the
+    batch is sharded (mesh-invariant Monte-Carlo counters).
+
     Returns:
       errors: (B, n*T + m*T) int8 — ground-truth variable vector of H_st
         (data rounds concatenated, then measurement rounds).
@@ -62,9 +66,18 @@ def sample_space_time(
     m, n = H.shape
     T = n_rounds
     q = p if q is None else q
-    ke, ku = jax.random.split(key)
-    e = jax.random.bernoulli(ke, p, (batch, T, n)).astype(jnp.int8)
-    u = jax.random.bernoulli(ku, q, (batch, T, m)).astype(jnp.int8)
+    if key.ndim == 1:  # per-sample keys
+        kk = jax.vmap(jax.random.split)(key)  # (batch, 2)
+        e = jax.vmap(lambda k: jax.random.bernoulli(k, p, (T, n)))(
+            kk[:, 0]
+        ).astype(jnp.int8)
+        u = jax.vmap(lambda k: jax.random.bernoulli(k, q, (T, m)))(
+            kk[:, 1]
+        ).astype(jnp.int8)
+    else:
+        ke, ku = jax.random.split(key)
+        e = jax.random.bernoulli(ke, p, (batch, T, n)).astype(jnp.int8)
+        u = jax.random.bernoulli(ku, q, (batch, T, m)).astype(jnp.int8)
 
     Hf = jnp.asarray(H, jnp.float32)
     s = jnp.mod(

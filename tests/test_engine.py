@@ -41,18 +41,34 @@ class TestEngine:
     def test_mesh_sharding_matches_single_device(self):
         """Same seed, 8-device mesh vs 1-device mesh: identical counters.
 
-        The per-shard fold_in keying makes results mesh-dependent in general;
-        here both runs use the same global batch so the 8-way shard of the
-        batch must reproduce the 1-device totals exactly when the RNG tree is
-        keyed per-shard deterministically."""
+        Per-sample RNG keys are derived from GLOBAL sample ids (not shard
+        ids), so the sampled stream — and every counter — is invariant to the
+        mesh shape."""
         code = get_code("steane")
         cfg = EngineConfig(bp=BPConfig(max_iter=20), osd=OSDConfig(order=0), batch_size=64)
         eng8 = MonteCarloEngine(code, cfg, mesh=make_mesh(8))
         eng1 = MonteCarloEngine(code, cfg, mesh=make_mesh(1))
         c8 = counters_to_dict(eng8.run_rate(0.05, trials=128, seed=7))
         c1 = counters_to_dict(eng1.run_rate(0.05, trials=128, seed=7))
-        # different shard keying => statistically equivalent, same trial count
-        assert c8["trials"] == c1["trials"] == 128
+        for k in c1:
+            np.testing.assert_array_equal(c1[k], c8[k], err_msg=k)
+
+    def test_fused_matches_async_dispatch(self):
+        """The fused fori_loop dispatch and the async per-batch dispatch
+        derive identical per-batch keys, so their counters agree exactly."""
+        code = get_code("steane")
+        mk = lambda fused: MonteCarloEngine(
+            code,
+            EngineConfig(
+                bp=BPConfig(max_iter=20), osd=OSDConfig(order=0),
+                batch_size=64, fused_dispatch=fused,
+            ),
+            mesh=make_mesh(4),
+        )
+        cf = counters_to_dict(mk(True).run_rate(0.06, trials=200, seed=3))
+        ca = counters_to_dict(mk(False).run_rate(0.06, trials=200, seed=3))
+        for k in cf:
+            np.testing.assert_array_equal(cf[k], ca[k], err_msg=k)
 
     def test_bp_only_counts_faults_as_logical(self):
         eng = small_engine(osd=None, batch_size=256)
