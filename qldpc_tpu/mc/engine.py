@@ -53,6 +53,12 @@ class EngineConfig:
     osd_fraction: float = 1.0  # per-batch OSD capacity as a fraction of the
     # local batch; non-converged samples beyond it keep the BP output and are
     # tallied in the osd_overflow counter (1.0 == exact reference behavior)
+    osd_tiers: tuple = (128, 1024)  # compacted-OSD capacity tiers: per batch
+    # the smallest tier >= the failure count runs (lax.cond), so clean
+    # batches skip OSD entirely and low-p batches pay a 128-lane elimination
+    # instead of the full-batch one. Results are identical to full OSD as
+    # long as failures fit the selected tier (OSD runs on exactly the
+    # non-converged samples either way, like studies/study.py:62-68).
     fused_dispatch: bool = True  # True: all batches of a rate in one
     # dispatched program (fewest host round trips; robust on high-latency
     # links); False: async pipelined per-batch dispatches
@@ -247,21 +253,33 @@ class MonteCarloEngine:
             errors, syn, priors = self._sample(keys, p)
             bp_res = self._bp.decode_fn(syn, priors)
             overflow = jnp.zeros((), jnp.int32)
-            if self._osd is not None and k_osd >= local_B:
-                osd_sol = self._osd._decode(syn, bp_res.llrs, bp_res.hard)
-                final = jnp.where(bp_res.converged[:, None], bp_res.hard, osd_sol)
-            elif self._osd is not None:
-                # compaction: stable-sort non-converged samples to the front,
-                # post-process only the first k_osd slots, scatter back
-                sel = jnp.argsort(bp_res.converged, stable=True)[:k_osd]
-                osd_sol = self._osd._decode(
-                    syn[sel], bp_res.llrs[sel], bp_res.hard[sel]
+            if self._osd is not None:
+                conv = bp_res.converged
+                n_fail = jnp.sum((~conv).astype(jnp.int32))
+
+                def osd_at(k: int):
+                    # compaction: stable-sort non-converged samples to the
+                    # front, post-process the first k slots, scatter back
+                    sel = jnp.argsort(conv, stable=True)[:k]
+                    osd_sol = self._osd._decode(
+                        syn[sel], bp_res.llrs[sel], bp_res.hard[sel]
+                    )
+                    picked = jnp.where(
+                        conv[sel][:, None], bp_res.hard[sel], osd_sol
+                    )
+                    return bp_res.hard.at[sel].set(picked)
+
+                tiers = sorted(
+                    {int(k) for k in self.config.osd_tiers if 0 < k < k_osd}
                 )
-                picked = jnp.where(
-                    bp_res.converged[sel][:, None], bp_res.hard[sel], osd_sol
-                )
-                final = bp_res.hard.at[sel].set(picked)
-                n_fail = jnp.sum((~bp_res.converged).astype(jnp.int32))
+                run = lambda k=k_osd: osd_at(k_osd)
+                for k in reversed(tiers):
+                    run = (
+                        lambda k=k, nxt=run: jax.lax.cond(
+                            n_fail <= k, lambda: osd_at(k), nxt
+                        )
+                    )
+                final = jax.lax.cond(n_fail == 0, lambda: bp_res.hard, run)
                 overflow = jnp.maximum(n_fail - k_osd, 0)
             else:
                 final = bp_res.hard

@@ -84,6 +84,25 @@ class TestEngine:
         lers = res.curve("ler")
         assert lers[1] > lers[0]
 
+    def test_osd_tiers_match_full_capacity(self):
+        """Tiered compacted OSD (zero-skip + small-capacity lax.cond tiers)
+        must produce bit-identical counters to untereed full-capacity OSD:
+        a tier only runs when every failure fits in it, and the lanes
+        elimination is per-lane independent."""
+        code = get_code("[[72, 12, 6]]")
+        mk = lambda tiers: MonteCarloEngine(
+            code,
+            EngineConfig(
+                bp=BPConfig(max_iter=30), osd=OSDConfig(order=0),
+                batch_size=128, osd_tiers=tiers,
+            ),
+        )
+        for p in (0.002, 0.03, 0.08):  # zero-fail, small-tier, full tiers
+            ct = counters_to_dict(mk((2, 16)).run_rate(p, trials=256, seed=5))
+            cf = counters_to_dict(mk(()).run_rate(p, trials=256, seed=5))
+            for k in cf:
+                np.testing.assert_array_equal(cf[k], ct[k], err_msg=f"p={p} {k}")
+
     def test_odd_distance_miscorrection_threshold(self):
         """Steane (d=3): a weight-1 error causing a logical fault is
         *miscorrected* (weight < d/2, studies/study.py:83-87); weight-2+ is
