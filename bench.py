@@ -10,12 +10,23 @@ Methodology note: the remote-TPU link's completion signaling makes
 one large batch and the timer stops only after a scalar reduction of the
 outputs is read back to the host.
 
+Robustness note: cold TPU compiles through the remote-compile tunnel take
+2-12 minutes, which can blow a driver timeout before any output appears
+(round-1 failure mode). The primary measurement therefore runs in a child
+process under a deadline (``BENCH_DEADLINE``, seconds); if it does not
+produce a line in time, a cheap CPU-backend fallback measurement is
+reported instead — a degraded number beats no number. With a warm
+persistent compilation cache (``~/.cache/qldpc_tpu_xla``) the primary
+completes in ~40 s wall.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -23,11 +34,14 @@ import numpy as np
 BASELINE_SYNDROMES_PER_S = 1.0e6
 
 
-def main():
+def _measure(backend: str, batch: int, reps: int, force_cpu: bool = False) -> float:
     import qldpc_tpu
 
     qldpc_tpu.enable_compilation_cache()
     import jax
+
+    if force_cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from qldpc_tpu.codes import get_code
@@ -36,9 +50,6 @@ def main():
     code = get_code("[[144, 12, 12]]")
     H = code.Hx
     p = 0.01
-    batch = int(os.environ.get("BENCH_BATCH", 262144))
-    reps = int(os.environ.get("BENCH_REPS", 4))
-    backend = os.environ.get("BENCH_BACKEND", "pallas")
 
     if backend == "pallas":
         dec = BPDecoder(H, BPConfig(max_iter=50, backend="pallas", batch_tile=256))
@@ -58,32 +69,68 @@ def main():
         )
 
     rng = np.random.default_rng(0)
-    batches = []
-    for _ in range(2):
-        errors = (rng.random((batch, code.n)) < p).astype(np.int8)
-        batches.append(jax.device_put(jnp.asarray((errors @ H.T) % 2)))
+    errors = (rng.random((batch, code.n)) < p).astype(np.int8)
+    syndromes = jax.device_put(jnp.asarray((errors @ H.T) % 2))
 
-    acc = step(jnp.int32(0), batches[0])  # warmup/compile
+    acc = step(jnp.int32(0), syndromes)  # warmup/compile
     assert int(acc) > 0.9 * batch, "decoder sanity check failed"
 
     t0 = time.perf_counter()
     acc = jnp.int32(0)
-    for i in range(reps):
-        acc = step(acc, batches[i % 2])
-    digest = int(acc)  # single readback inside the timed region
+    for _ in range(reps):
+        acc = step(acc, syndromes)
+    int(acc)  # single readback inside the timed region
     dt = time.perf_counter() - t0
+    return batch * reps / dt
 
-    value = batch * reps / dt
+
+def _emit(value: float, suffix: str = "") -> None:
     print(
         json.dumps(
             {
-                "metric": "decoded_syndromes_per_s_per_chip_144_bp50",
+                "metric": "decoded_syndromes_per_s_per_chip_144_bp50" + suffix,
                 "value": round(value, 1),
                 "unit": "syndromes/s",
                 "vs_baseline": round(value / BASELINE_SYNDROMES_PER_S, 4),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def main() -> None:
+    if "--primary" in sys.argv:
+        value = _measure(
+            backend=os.environ.get("BENCH_BACKEND", "pallas"),
+            batch=int(os.environ.get("BENCH_BATCH", 262144)),
+            reps=int(os.environ.get("BENCH_REPS", 4)),
+        )
+        _emit(value)
+        return
+
+    if "--fallback-inline" in sys.argv or os.environ.get("BENCH_FORCE_FALLBACK"):
+        _emit(_measure(backend="xla", batch=2048, reps=2, force_cpu=True), "_cpu_fallback")
+        return
+
+    deadline = float(os.environ.get("BENCH_DEADLINE", 150))
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--primary"],
+            capture_output=True,
+            text=True,
+            timeout=deadline,
+            env=os.environ,
+        )
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                print(line, flush=True)
+                return
+    except subprocess.TimeoutExpired:
+        pass
+    # Primary timed out or produced no line: cheap local-CPU measurement so
+    # the driver always captures a parsed value.
+    _emit(_measure(backend="xla", batch=2048, reps=2, force_cpu=True), "_cpu_fallback")
 
 
 if __name__ == "__main__":
