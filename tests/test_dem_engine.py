@@ -13,6 +13,12 @@ from qldpc_tpu.mc import (
 from qldpc_tpu.noise import DEMData
 
 
+def dicts_equal(a, b):
+    return a.keys() == b.keys() and all(
+        np.array_equal(a[k], b[k]) for k in a
+    )
+
+
 def steane_dem(p):
     """A code-capacity channel expressed as a DEM: mechanisms are the 7
     single-qubit flips, detectors are the Steane checks, observable is Lx."""
@@ -63,3 +69,55 @@ class TestDEMEngine:
         )
         d = eng.run(shots=512, seed=3)
         assert d["trials"] == 512
+
+    def test_fused_matches_async_dispatch(self):
+        """The inherited fused fori_loop dispatch and per-batch async
+        dispatch draw identical RNG streams -> identical counters."""
+        kw = dict(bp=BPConfig(max_iter=20), osd=OSDConfig(order=0), batch_size=128)
+        d_f = DEMEngine(
+            steane_dem(0.06), DEMEngineConfig(**kw, fused_dispatch=True)
+        ).run(shots=384, seed=5)
+        d_a = DEMEngine(
+            steane_dem(0.06), DEMEngineConfig(**kw, fused_dispatch=False)
+        ).run(shots=384, seed=5)
+        assert dicts_equal(d_f, d_a)
+
+    def test_mesh_invariant_counters(self):
+        """Per-sample keys from global sample ids: counters are bit-identical
+        on a 1-device and an 8-device mesh."""
+        import jax
+
+        from qldpc_tpu.parallel import make_mesh
+
+        kw = DEMEngineConfig(
+            bp=BPConfig(max_iter=20), osd=OSDConfig(order=0), batch_size=128
+        )
+        dem = steane_dem(0.06)
+        mesh1 = make_mesh(devices=np.array(jax.devices()[:1]))
+        d1 = DEMEngine(dem, kw, mesh=mesh1).run(shots=256, seed=7)
+        d8 = DEMEngine(dem, kw).run(shots=256, seed=7)
+        assert dicts_equal(d1, d8)
+
+    def test_checkpoint_resume(self, tmp_path):
+        """Inherited checkpoint/resume: an interrupted run completes to the
+        same counters as an uninterrupted one."""
+        from qldpc_tpu.mc import CheckpointManager
+
+        kw = DEMEngineConfig(
+            bp=BPConfig(max_iter=20), osd=OSDConfig(order=0), batch_size=128
+        )
+        dem = steane_dem(0.06)
+        full = DEMEngine(dem, kw).run(shots=512, seed=9, checkpoint=None)
+
+        ck = CheckpointManager(tmp_path)
+        eng = DEMEngine(dem, kw)
+        # simulate an interruption: run the first 2 of 4 batches, persist
+        partial = eng.run_rate(
+            0.0, 512, seed=9, start_batch=0,
+            on_batch=lambda b, n, t: ck.save(eng, 0.0, 9, t, b + 1),
+        )
+        del partial
+        ck_counters, start = ck.load(eng, 0.0, 9)
+        assert start == 4  # all batches persisted
+        resumed = DEMEngine(dem, kw).run(shots=512, seed=9, checkpoint=ck)
+        assert dicts_equal(resumed, full)
