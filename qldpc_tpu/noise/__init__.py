@@ -7,6 +7,13 @@ from .channels import (
     syndrome_of,
     uniform_prior_llr,
 )
+from .circuit import (
+    Circuit,
+    DepolarizingNoise,
+    circuit_to_dem,
+    memory_experiment,
+    memory_experiment_dem,
+)
 from .dem import DEMData, priors_to_llrs
 from .spacetime import (
     fold_data_correction,
@@ -25,6 +32,11 @@ __all__ = [
     "uniform_prior_llr",
     "DEMData",
     "priors_to_llrs",
+    "Circuit",
+    "DepolarizingNoise",
+    "circuit_to_dem",
+    "memory_experiment",
+    "memory_experiment_dem",
     "space_time_matrix",
     "sample_space_time",
     "fold_data_correction",
