@@ -135,6 +135,13 @@ PRESETS: dict[str, ExperimentSpec] = {
         name="phenomenological", channel="phenomenological", trials=1000,
         codes=["[[72, 12, 6]]", "[[144, 12, 12]]", "[[288, 12, 18]]"],
     ),
+    # studies/studyComplete.py — circuit-level memory experiments (the
+    # reference ran a 2-trial stim smoke; this is the real sweep, BP-only
+    # like the reference's decoder choice, rounds = distance)
+    "complete": ExperimentSpec(
+        name="complete", channel="circuit-level", trials=1000,
+        bp_max_iter=100, osd_order=None, batch_size=512,
+    ),
     # studies/studyTT.py — space-time decoding, implemented correctly
     "space-time": ExperimentSpec(
         name="space-time", channel="space-time", trials=1000,

@@ -54,6 +54,28 @@ def build_engine(
     spec: ExperimentSpec, code_name: str, mesh=None, max_iter=None, alpha=None
 ) -> MonteCarloEngine:
     code = get_code(code_name)
+    if spec.channel == "circuit-level":
+        # studyComplete.py:72-109 in-repo: a parametric memory-experiment
+        # DEM (Z basis, rounds=distance like the reference) decoded by
+        # DEMEngine; priors are traced functions of p, so the whole rate
+        # grid reuses one compiled program per code.
+        from qldpc_tpu.mc import DEMEngine, DEMEngineConfig
+        from qldpc_tpu.noise.circuit import parametric_memory_dem
+
+        pdem = parametric_memory_dem(
+            code, basis="z", rounds=spec.n_rounds or code.distance
+        )
+        return DEMEngine(
+            pdem,
+            DEMEngineConfig(
+                bp=_bp_config(spec, max_iter=max_iter, alpha=alpha),
+                osd=_osd_config(spec),
+                batch_size=spec.batch_size,
+                osd_fraction=spec.osd_fraction,
+            ),
+            mesh=mesh,
+            name=code_name,
+        )
     return MonteCarloEngine(
         code,
         EngineConfig(
@@ -120,6 +142,7 @@ def run_experiment(
         results[code_name] = {}
         iter_grid = spec.max_iter_grid or [None]
         for max_iter in iter_grid:
+            eng = None
             for i, p in enumerate(rates):
                 alpha = None
                 if spec.estimate_alpha:
@@ -128,10 +151,15 @@ def run_experiment(
                             get_code(code_name).Hx, p,
                             method=spec.bp_method, seed=spec.seed + 17 * i,
                         )
-                with timer.phase("engine-build"):
-                    eng = build_engine(
-                        spec, code_name, mesh=mesh, max_iter=max_iter, alpha=alpha
-                    )
+                # the engine is p-independent (p is a traced scalar):
+                # build once per (code, max_iter) unless a fitted alpha is
+                # baked into the decoder per rate
+                if eng is None or spec.estimate_alpha:
+                    with timer.phase("engine-build"):
+                        eng = build_engine(
+                            spec, code_name, mesh=mesh, max_iter=max_iter,
+                            alpha=alpha,
+                        )
                 with timer.phase("sweep"):
                     if ckpt is not None:
                         counters = ckpt.run_rate(eng, p, spec.trials, spec.seed + i)

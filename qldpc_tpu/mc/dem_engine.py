@@ -32,6 +32,7 @@ from qldpc_tpu.decoders.bp import BPDecoder
 from qldpc_tpu.decoders.osd import OSDDecoder
 from qldpc_tpu.mc.engine import EngineConfig, MonteCarloEngine
 from qldpc_tpu.mc.metrics import counters_to_dict
+from qldpc_tpu.noise.circuit import ParametricDEM
 from qldpc_tpu.noise.dem import DEMData
 from qldpc_tpu.parallel.mesh import make_mesh
 
@@ -56,7 +57,7 @@ class DEMEngine(MonteCarloEngine):
 
     def __init__(
         self,
-        dem: DEMData,
+        dem: DEMData | ParametricDEM,
         config: DEMEngineConfig = DEMEngineConfig(),
         mesh=None,
         name: str = "dem",
@@ -85,24 +86,42 @@ class DEMEngine(MonteCarloEngine):
         self._osd = OSDDecoder(dem.H, config.osd) if config.osd is not None else None
         self._Hf = jnp.asarray(dem.H, jnp.float32)
         self._Lf = jnp.asarray(dem.L, jnp.float32)
-        self._priors_prob = jnp.asarray(dem.priors, jnp.float32)
-        self._priors_llr = jnp.asarray(dem.llrs, jnp.float32)
+        self._parametric = isinstance(dem, ParametricDEM)
+        if self._parametric:
+            self._ratios = jnp.asarray(dem.ratios, jnp.float32)
+            self._counts = jnp.asarray(dem.counts, jnp.float32)
+        else:
+            self._priors_prob = jnp.asarray(dem.priors, jnp.float32)
+            self._priors_llr = jnp.asarray(dem.llrs, jnp.float32)
         self._batch_fn = self._build()
 
-    def _sample(self, keys, p):
-        """Per-mechanism Bernoulli firings from per-sample keys. The traced
-        error-rate scalar ``p`` is ignored — a DEM carries its own priors
-        (studyComplete.py:85-89); sweeps over a DEM are sweeps over DEMs."""
-        del p
-        mech = jax.vmap(lambda k: jax.random.bernoulli(k, self._priors_prob))(
-            keys
-        ).astype(jnp.int8)
-        return mech, self._syndrome(mech), self._priors_llr
+    def _priors(self, p):
+        """Mechanism priors and LLRs. Static for a DEMData; for a
+        ParametricDEM they are the exact closed form
+        q = (1 - prod_j (1-2 r_j p)^{c_j})/2 of the *traced* base rate p —
+        the whole p-grid reuses one compiled program."""
+        if not self._parametric:
+            return self._priors_prob, self._priors_llr
+        q = 0.5 * (1.0 - jnp.exp(self._counts @ jnp.log1p(-2.0 * self._ratios * p)))
+        qc = jnp.clip(q, 1e-15, 1.0 - 1e-15)  # studyComplete.py:88 clipping
+        return q, jnp.log((1.0 - qc) / qc)
 
-    def run(self, shots: int, seed: int = 0, checkpoint=None) -> dict:
-        """Estimate the logical error rate over ``shots`` sampled shots."""
+    def _sample(self, keys, p):
+        """Per-mechanism Bernoulli firings from per-sample keys. For a plain
+        DEMData the traced scalar ``p`` is ignored — the DEM carries its own
+        priors (studyComplete.py:85-89); for a ParametricDEM it is the
+        physical depolarizing rate."""
+        prob, llr = self._priors(p)
+        mech = jax.vmap(lambda k: jax.random.bernoulli(k, prob))(keys).astype(jnp.int8)
+        return mech, self._syndrome(mech), llr
+
+    def run(self, shots: int, seed: int = 0, p: float = 0.0, checkpoint=None) -> dict:
+        """Estimate the logical error rate over ``shots`` sampled shots.
+        ``p`` is the physical rate for a ParametricDEM (ignored otherwise)."""
+        if self._parametric and p <= 0.0:
+            raise ValueError("a ParametricDEM needs a physical rate: run(..., p=...)")
         if checkpoint is not None:
-            counters = checkpoint.run_rate(self, 0.0, shots, seed)
+            counters = checkpoint.run_rate(self, p, shots, seed)
         else:
-            counters = self.run_rate(0.0, shots, seed=seed)
+            counters = self.run_rate(p, shots, seed=seed)
         return counters_to_dict(counters)

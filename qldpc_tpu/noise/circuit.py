@@ -47,9 +47,12 @@ from qldpc_tpu.noise.dem import DEMData
 __all__ = [
     "Circuit",
     "DepolarizingNoise",
+    "ParametricDEM",
     "memory_experiment",
     "circuit_to_dem",
+    "circuit_to_parametric_dem",
     "memory_experiment_dem",
+    "parametric_memory_dem",
 ]
 
 
@@ -120,20 +123,15 @@ class Circuit:
         return sum(1 for op in self.ops if op[0] in ("M", "MR"))
 
 
-def circuit_to_dem(circuit: Circuit) -> DEMData:
-    """Exact detector error model of a noisy Clifford circuit.
+def _fault_signatures(circuit: Circuit, emit) -> None:
+    """Backward Pauli-frame sensitivity pass.
 
-    Single backward pass over ``circuit.ops`` maintaining, per qubit, the
-    bitset of detectors+observables flipped by an X (``Sx``) or Z (``Sz``)
-    frame at the current position; each noise op emits its mechanisms from
-    the bitsets current at its position. Identical signatures merge with
-    XOR-convolution of probabilities; signatures that flip nothing are
-    dropped (they are unobservable). Matches stim's
-    ``detector_error_model(decompose_errors=False)`` semantics — hyperedges
-    are kept (studyComplete.py:80-81).
-    """
+    Walks ``circuit.ops`` in reverse maintaining, per qubit, the bitset of
+    detectors+observables flipped by an X (``Sx``) or Z (``Sz``) frame at
+    the current position; calls ``emit(signature_bitset, weight)`` once per
+    elementary fault mechanism at each noise location (DEP1 -> 3 calls at
+    weight p/3, DEP2 -> 15 at p/15, XE/ZE -> 1 at p)."""
     n_det = len(circuit.detectors)
-    n_obs = len(circuit.observables)
 
     # per-record signature over (detectors | observables) bit positions
     record_sig = [0] * circuit.num_records
@@ -146,13 +144,6 @@ def circuit_to_dem(circuit: Circuit) -> DEMData:
 
     Sx = [0] * circuit.n_qubits
     Sz = [0] * circuit.n_qubits
-    mech: dict[int, float] = {}
-
-    def emit(sig: int, p: float) -> None:
-        if sig == 0 or p <= 0.0:
-            return
-        q = mech.get(sig, 0.0)
-        mech[sig] = q * (1.0 - p) + p * (1.0 - q)
 
     rec = circuit.num_records
     for op in reversed(circuit.ops):
@@ -199,13 +190,13 @@ def circuit_to_dem(circuit: Circuit) -> DEMData:
             raise ValueError(f"unknown op {tag!r}")
     assert rec == 0, "record bookkeeping out of sync"
 
-    sigs = sorted(mech)  # deterministic column order
+
+def _sigs_to_matrices(sigs, n_det: int, n_obs: int):
+    """Unpack signature bitsets into dense (H, L) uint8 incidence matrices."""
     M = len(sigs)
     H = np.zeros((n_det, M), np.uint8)
     L = np.zeros((n_obs, M), np.uint8)
-    priors = np.zeros((M,), np.float64)
     for col, sig in enumerate(sigs):
-        priors[col] = mech[sig]
         s = sig
         while s:
             lsb = s & -s
@@ -215,7 +206,98 @@ def circuit_to_dem(circuit: Circuit) -> DEMData:
             else:
                 L[bit - n_det, col] = 1
             s ^= lsb
-    return DEMData(H=H, L=L, priors=priors)
+    return H, L
+
+
+def circuit_to_dem(circuit: Circuit) -> DEMData:
+    """Exact detector error model of a noisy Clifford circuit.
+
+    Identical (detector, observable) signatures merge with XOR-convolution
+    of probabilities; signatures that flip nothing are dropped (they are
+    unobservable). Matches stim's
+    ``detector_error_model(decompose_errors=False)`` semantics — hyperedges
+    are kept (studyComplete.py:80-81).
+    """
+    mech: dict[int, float] = {}
+
+    def emit(sig: int, p: float) -> None:
+        if sig == 0 or p <= 0.0:
+            return
+        q = mech.get(sig, 0.0)
+        mech[sig] = q * (1.0 - p) + p * (1.0 - q)
+
+    _fault_signatures(circuit, emit)
+    sigs = sorted(mech)  # deterministic column order
+    H, L = _sigs_to_matrices(sigs, len(circuit.detectors), len(circuit.observables))
+    return DEMData(H=H, L=L, priors=np.array([mech[s] for s in sigs], np.float64))
+
+
+@dataclasses.dataclass(frozen=True)
+class ParametricDEM:
+    """A DEM whose priors are exact closed-form functions of a base rate p.
+
+    When every noise-location strength in the circuit is a fixed multiple
+    ``r*p`` of one physical rate (the uniform depolarizing model:
+    r in {1, 1/3, 1/15}), the XOR-convolved prior of a merged mechanism with
+    ``c_j`` elementary contributions at ratio ``r_j`` is exactly
+
+        q(p) = (1 - prod_j (1 - 2 r_j p)^{c_j}) / 2.
+
+    Storing (ratios, counts) instead of numeric priors makes the mechanism
+    set, H and L *independent of p* — so one compiled decode program sweeps
+    the whole error-rate grid with p as a traced scalar (no per-grid-point
+    recompiles; cf. the reference rebuilding the stim DEM per p,
+    studyComplete.py:70-81).
+
+    Attributes:
+      H, L: incidence matrices as in :class:`DEMData`.
+      ratios: (R,) distinct elementary-fault ratios r_j.
+      counts: (M, R) int32 — elementary contributions per mechanism/ratio.
+    """
+
+    H: np.ndarray
+    L: np.ndarray
+    ratios: np.ndarray
+    counts: np.ndarray
+
+    def priors_at(self, p: float) -> np.ndarray:
+        lg = np.log1p(-2.0 * np.asarray(self.ratios, np.float64) * float(p))
+        return 0.5 * (1.0 - np.exp(self.counts.astype(np.float64) @ lg))
+
+    def at(self, p: float) -> DEMData:
+        return DEMData(H=self.H, L=self.L, priors=self.priors_at(p))
+
+    def save(self, path) -> None:
+        np.savez(path, H=self.H, L=self.L, ratios=self.ratios, counts=self.counts)
+
+    @classmethod
+    def load(cls, path) -> "ParametricDEM":
+        d = np.load(path)
+        return cls(H=d["H"], L=d["L"], ratios=d["ratios"], counts=d["counts"])
+
+
+def circuit_to_parametric_dem(circuit: Circuit) -> ParametricDEM:
+    """Like :func:`circuit_to_dem`, but noise-op strengths in the circuit
+    are interpreted as *ratios* of a base physical rate p (build the circuit
+    with ``DepolarizingNoise(1.0)``), and the result's priors are exact
+    functions of p via per-mechanism (ratio, count) bookkeeping."""
+    mech: dict[int, dict[float, int]] = {}
+
+    def emit(sig: int, ratio: float) -> None:
+        if sig == 0 or ratio <= 0.0:
+            return
+        d = mech.setdefault(sig, {})
+        d[ratio] = d.get(ratio, 0) + 1
+
+    _fault_signatures(circuit, emit)
+    sigs = sorted(mech)
+    ratios = sorted({r for d in mech.values() for r in d})
+    counts = np.zeros((len(sigs), len(ratios)), np.int32)
+    for i, sig in enumerate(sigs):
+        for j, r in enumerate(ratios):
+            counts[i, j] = mech[sig].get(r, 0)
+    H, L = _sigs_to_matrices(sigs, len(circuit.detectors), len(circuit.observables))
+    return ParametricDEM(H=H, L=L, ratios=np.array(ratios, np.float64), counts=counts)
 
 
 def memory_experiment(
@@ -358,4 +440,15 @@ def memory_experiment_dem(
         memory_experiment(
             code, basis=basis, rounds=rounds, noise=DepolarizingNoise(p, **noise_kw)
         )
+    )
+
+
+def parametric_memory_dem(
+    code, basis: str = "z", rounds: int | None = None
+) -> ParametricDEM:
+    """Uniform-depolarizing memory-experiment DEM, parametric in the
+    physical rate p: build once per (code, basis, rounds), decode any p
+    with one compiled program."""
+    return circuit_to_parametric_dem(
+        memory_experiment(code, basis=basis, rounds=rounds, noise=DepolarizingNoise(1.0))
     )

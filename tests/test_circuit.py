@@ -157,6 +157,63 @@ class TestMemoryExperiment:
         assert (dem.H.sum(0) + dem.L.sum(0) > 0).all()
 
 
+class TestParametricDEM:
+    def test_matches_numeric_dem_exactly(self):
+        """(ratios, counts) closed-form priors == XOR-convolved numeric
+        priors at any p, with identical H, L and column order."""
+        from qldpc_tpu.noise.circuit import parametric_memory_dem
+
+        code = get_code("steane")
+        pdem = parametric_memory_dem(code, rounds=3)
+        for p in (0.001, 0.01, 0.05):
+            ndem = memory_experiment_dem(code, p, rounds=3)
+            assert np.array_equal(pdem.H, ndem.H)
+            assert np.array_equal(pdem.L, ndem.L)
+            np.testing.assert_allclose(
+                pdem.priors_at(p), ndem.priors, rtol=1e-12, atol=1e-15
+            )
+
+    def test_save_load_roundtrip(self, tmp_path):
+        from qldpc_tpu.noise.circuit import ParametricDEM, parametric_memory_dem
+
+        pdem = parametric_memory_dem(get_code("steane"), rounds=2)
+        pdem.save(tmp_path / "p.npz")
+        back = ParametricDEM.load(tmp_path / "p.npz")
+        assert np.array_equal(back.counts, pdem.counts)
+        np.testing.assert_allclose(back.priors_at(0.01), pdem.priors_at(0.01))
+
+    def test_engine_traced_p_matches_static_dem(self):
+        """One DEMEngine over a ParametricDEM, run at two rates with the
+        same compiled program, matches per-rate static-DEM engines within
+        sampling error (the on-device f32 closed form and the host f64
+        priors differ by ULPs, so occasional threshold-adjacent Bernoulli
+        draws flip — exact counter equality is not expected)."""
+        from qldpc_tpu.noise.circuit import parametric_memory_dem
+
+        code = get_code("steane")
+        pdem = parametric_memory_dem(code, rounds=2)
+        cfg = DEMEngineConfig(
+            bp=BPConfig(max_iter=30), osd=OSDConfig(order=0), batch_size=512
+        )
+        eng_p = DEMEngine(pdem, cfg)
+        for p in (0.004, 0.02):
+            shots = 4096
+            d_param = eng_p.run(shots=shots, seed=11, p=p)
+            d_static = DEMEngine(pdem.at(p), cfg).run(shots=shots, seed=11)
+            assert d_param["trials"] == d_static["trials"] == shots
+            ler = d_static["ler"]
+            sigma = np.sqrt(max(ler * (1 - ler), 1e-9) / shots)
+            assert abs(d_param["ler"] - ler) < 5 * sigma + 0.01
+
+    def test_parametric_requires_rate(self):
+        from qldpc_tpu.noise.circuit import parametric_memory_dem
+
+        pdem = parametric_memory_dem(get_code("steane"), rounds=2)
+        eng = DEMEngine(pdem, DEMEngineConfig(batch_size=128))
+        with pytest.raises(ValueError):
+            eng.run(shots=128)
+
+
 class TestCircuitLevelEndToEnd:
     def test_decode_steane_memory(self):
         """The full studyComplete loop in-repo: circuit -> DEM -> sharded

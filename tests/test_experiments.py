@@ -77,6 +77,20 @@ class TestRunAndIO:
         # the LER-vs-iterations plot must be emitted for iteration grids
         assert (tmp_path / "bp-iteration_ler_vs_iters.png").exists()
 
+    def test_circuit_level_preset(self, tmp_path):
+        """The studyComplete-equivalent preset: parametric memory-experiment
+        DEM per code, one engine build for the whole rate grid."""
+        spec = get_preset("complete").replace(
+            codes=["steane"], trials=128, batch_size=128,
+            error_rates=[0.003, 0.02], output_dir=str(tmp_path),
+        )
+        results = run_experiment(spec, verbose=False, checkpoint=False)
+        d = results["steane"]
+        assert d[0.003]["trials"] == 128
+        assert d[0.003]["ler"] <= d[0.02]["ler"]
+        assert (tmp_path / "complete_ler.png").exists()
+        assert (tmp_path / "complete_reference_format.npz").exists()
+
     def test_per_code_grid_emits_panels(self, tmp_path):
         """Per-code rate grids skip the common-grid reference export but must
         still produce the rework-style multi-panel plot."""
