@@ -48,7 +48,7 @@ class ExperimentSpec:
     bp_max_iter: int = 50
     bp_chunk_size: int = 0
     bp_backend: str = "xla"  # "xla" | "pallas"
-    osd_backend: str = "lanes"  # "lanes" | "vmap"
+    osd_backend: str = "auto"  # "auto" | "lanes" | "vmap" | "pallas"
     osd_fraction: float = 1.0
     alpha: float = 1.0
     damping: float = 1.0

@@ -106,13 +106,18 @@ class DEMEngine(MonteCarloEngine):
         qc = jnp.clip(q, 1e-15, 1.0 - 1e-15)  # studyComplete.py:88 clipping
         return q, jnp.log((1.0 - qc) / qc)
 
-    def _sample(self, keys, p):
-        """Per-mechanism Bernoulli firings from per-sample keys. For a plain
-        DEMData the traced scalar ``p`` is ignored — the DEM carries its own
-        priors (studyComplete.py:85-89); for a ParametricDEM it is the
-        physical depolarizing rate."""
+    def _sample(self, key, base, p):
+        """Per-mechanism Bernoulli firings from global counter-mode draws
+        (utils/rng.py; sample i's uniforms are a pure function of its global
+        id). For a plain DEMData the traced scalar ``p`` is ignored — the
+        DEM carries its own priors (studyComplete.py:85-89); for a
+        ParametricDEM it is the physical depolarizing rate."""
+        from qldpc_tpu.utils.rng import counter_uniform
+
+        B, M = self.local_batch, self.n_vars
         prob, llr = self._priors(p)
-        mech = jax.vmap(lambda k: jax.random.bernoulli(k, prob))(keys).astype(jnp.int8)
+        u = counter_uniform(key, base, B, M)
+        mech = (u < prob[None, :]).astype(jnp.int8)
         return mech, self._syndrome(mech), llr
 
     def run(self, shots: int, seed: int = 0, p: float = 0.0, checkpoint=None) -> dict:

@@ -8,7 +8,8 @@ is one jitted, natively batched device program, sharded over a 1-D device
 mesh with ``shard_map``:
 
   * the sample batch axis is split across devices;
-  * each shard derives its RNG stream with ``fold_in(key, shard_index)``;
+  * each shard draws its slice of one GLOBAL counter-mode RNG stream
+    (utils/rng.py), so counters are bit-identical across mesh shapes;
   * outcome counters are ``psum``-reduced on-device, so one scalar bundle
     returns per batch regardless of mesh size;
   * exact trial counts are kept with a validity mask (no ragged batches);
@@ -110,7 +111,20 @@ class MonteCarloEngine:
         )
         self._Hf = jnp.asarray(self._H_dec, jnp.float32)
         self._Lf = jnp.asarray(L, jnp.float32)
+        self._stride = self._draws_per_sample()
+        if config.batch_size * ((self._stride + 1) // 2) >= 2**32:
+            raise ValueError(
+                f"batch_size x {(self._stride + 1) // 2} counter pairs per "
+                "sample exceeds the 2^32 counter space of one batch; use a "
+                "smaller batch_size"
+            )
         self._batch_fn = self._build()
+
+    def _draws_per_sample(self) -> int:
+        """Uniform draws consumed per sample (the counter-mode RNG stride)."""
+        if self.config.channel == "phenomenological":
+            return self.n_vars + self.m_checks  # errors + syndrome flips
+        return self.n_vars  # space-time's n*T + m*T variables ARE its draws
 
     def _make_bp_decoder(self, H_base):
         """Space-time sweeps use the structured decoder (no materialized
@@ -128,41 +142,42 @@ class MonteCarloEngine:
         return BPDecoder(self._H_dec, cfg.bp)
 
     # ------------------------------------------------------------------ build
-    def _sample(self, keys, p):
-        """Channel sampling from per-sample keys; returns (errors, syndromes,
-        priors).
+    def _sample(self, key, base, p):
+        """Channel sampling; returns (errors, syndromes, priors).
 
-        ``keys`` is a (batch,) array of PRNG keys, one per sample, derived
-        from *global* sample ids — so the drawn stream is independent of the
-        mesh shape and counters are bit-identical across mesh sizes
-        (tests/test_engine.py::test_mesh_sharding_matches_single_device)."""
+        Draws come from *global* counter-mode RNG (utils/rng.py): sample i's
+        uniforms are a pure function of its global id, so the stream — and
+        every counter — is independent of the mesh shape and dispatch mode
+        (tests/test_engine.py::test_mesh_sharding_matches_single_device).
+        ``base`` is this shard's first global SAMPLE id (traced)."""
+        from qldpc_tpu.utils.rng import counter_bernoulli, counter_uniform
+
         cfg = self.config
         n = self.n_vars
-        draw = lambda ks, prob, size: jax.vmap(
-            lambda k: jax.random.bernoulli(k, prob, (size,))
-        )(ks).astype(jnp.int8)
+        B = self.local_batch
         if cfg.channel == "code-capacity":
-            errors = draw(keys, p, n)
+            errors = counter_bernoulli(key, p, base, (B, n))
             syn = self._syndrome(errors)
             priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
         elif cfg.channel == "doubled":
             p2 = 2.0 * p * (1.0 - p)
-            errors = draw(keys, p2, n)
+            errors = counter_bernoulli(key, p2, base, (B, n))
             syn = self._syndrome(errors)
             # the reference decodes the doubled channel with the plain
             # log((1-p)/p) prior (paperResults.py:66-77)
             priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
         elif cfg.channel == "phenomenological":
             q = p if cfg.syndrome_flip_rate is None else cfg.syndrome_flip_rate
-            kk = jax.vmap(jax.random.split)(keys)  # (batch, 2)
-            errors = draw(kk[:, 0], p, n)
-            flips = draw(kk[:, 1], q, self.m_checks)
+            m = self.m_checks
+            u = counter_uniform(key, base, B, n + m)
+            errors = (u[:, :n] < p).astype(jnp.int8)
+            flips = (u[:, n:] < q).astype(jnp.int8)
             syn = (self._syndrome(errors) + flips) % 2
             priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
         elif cfg.channel == "space-time":
             q = p if cfg.syndrome_flip_rate is None else cfg.syndrome_flip_rate
-            errors, syn = st.sample_space_time(
-                keys, self._H_space, p, keys.shape[0], self.n_rounds, q=q
+            errors, syn = st.sample_space_time_counters(
+                key, base, self._H_space, p, B, self.n_rounds, q=q
             )
             priors = st.space_time_prior_llr(
                 self.n_qubits, self._H_space.shape[0], self.n_rounds, p, q=q
@@ -244,13 +259,16 @@ class MonteCarloEngine:
 
         k_osd = max(1, int(round(local_B * self.config.osd_fraction)))
 
-        def local_step(key, p, n_valid):
+        def local_step(key, p, n_valid, base0):
             idx = jax.lax.axis_index(BATCH_AXIS)
-            # per-sample keys from GLOBAL sample ids (not shard ids): the RNG
-            # stream — and therefore every counter — is mesh-shape-invariant
+            # counter-mode RNG over GLOBAL sample ids (not shard ids): the
+            # stream — and therefore every counter — is mesh-shape-invariant.
+            # base0 is a traced zero: a constant-folded iota counter sends
+            # the XLA threefry lowering down a ~1000x slower path (see
+            # utils/rng.py), so the offset must stay traced even on shard 0.
             sample_ids = idx * local_B + jnp.arange(local_B)
-            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(sample_ids)
-            errors, syn, priors = self._sample(keys, p)
+            base = base0 + jnp.uint32(idx) * jnp.uint32(local_B)
+            errors, syn, priors = self._sample(key, base, p)
             bp_res = self._bp.decode_fn(syn, priors)
             overflow = jnp.zeros((), jnp.int32)
             if self._osd is not None:
@@ -296,7 +314,7 @@ class MonteCarloEngine:
         sharded = jax.shard_map(
             local_step,
             mesh=self.mesh,
-            in_specs=(P(), P(), P()),
+            in_specs=(P(), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
@@ -315,12 +333,12 @@ class MonteCarloEngine:
             return fn
         B = self.config.batch_size
 
-        def local_multi(key, p, trials, offset):
+        def local_multi(key, p, trials, offset, base0):
             def body(i, tot):
                 b = offset + i
                 kb = jax.random.fold_in(key, b)
                 n_valid = jnp.clip(trials - b * B, 0, B)
-                return tot + self._local_step(kb, p, n_valid)
+                return tot + self._local_step(kb, p, n_valid, base0)
 
             return jax.lax.fori_loop(0, n_batches, body, zeros_counters())
 
@@ -328,7 +346,7 @@ class MonteCarloEngine:
             jax.shard_map(
                 local_multi,
                 mesh=self.mesh,
-                in_specs=(P(), P(), P(), P()),
+                in_specs=(P(), P(), P(), P(), P()),
                 out_specs=P(),
                 check_vma=False,
             )
@@ -369,7 +387,8 @@ class MonteCarloEngine:
                 while b < n_batches:
                     nb = min(max_fused, n_batches - b)
                     chunk = self._batch_fn_multi_offset(nb)(
-                        kp, jnp.float32(p), jnp.int32(trials), jnp.int32(b)
+                        kp, jnp.float32(p), jnp.int32(trials), jnp.int32(b),
+                        jnp.uint32(0),
                     )
                     total = total + to_host(chunk)
                     b += nb
@@ -382,7 +401,9 @@ class MonteCarloEngine:
                 n_valid = min(B, trials - b * B)
                 kb = jax.random.fold_in(kp, b)
                 outs.append(
-                    self._batch_fn(kb, jnp.float32(p), jnp.int32(n_valid))
+                    self._batch_fn(
+                        kb, jnp.float32(p), jnp.int32(n_valid), jnp.uint32(0)
+                    )
                 )
             jax.block_until_ready(outs)
             total = to_host(zeros_counters())
@@ -396,7 +417,9 @@ class MonteCarloEngine:
             done = b * B
             n_valid = min(B, trials - done)
             kb = jax.random.fold_in(jax.random.fold_in(key, hash(p) % (2**31)), b)
-            counters = self._batch_fn(kb, jnp.float32(p), jnp.int32(n_valid))
+            counters = self._batch_fn(
+                kb, jnp.float32(p), jnp.int32(n_valid), jnp.uint32(0)
+            )
             total = total + to_host(counters)
             if on_batch is not None:
                 on_batch(b, n_batches, total)

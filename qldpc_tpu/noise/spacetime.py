@@ -31,6 +31,7 @@ import numpy as np
 __all__ = [
     "space_time_matrix",
     "sample_space_time",
+    "sample_space_time_counters",
     "fold_data_correction",
     "space_time_prior_llr",
 ]
@@ -79,7 +80,13 @@ def sample_space_time(
         e = jax.random.bernoulli(ke, p, (batch, T, n)).astype(jnp.int8)
         u = jax.random.bernoulli(ku, q, (batch, T, m)).astype(jnp.int8)
 
-    Hf = jnp.asarray(H, jnp.float32)
+    return _detectors(e, u, H, batch, T)
+
+
+def _detectors(e, u, H, batch: int, T: int):
+    """Shared detector math: d_t = H e_t + u_t + u_{t-1} (u_0 = 0)."""
+    m, n = H.shape
+    Hf = jnp.asarray(np.asarray(H), jnp.float32)
     s = jnp.mod(
         jnp.einsum("btn,mn->btm", e.astype(jnp.float32), Hf), 2.0
     ).astype(jnp.int8)
@@ -90,6 +97,26 @@ def sample_space_time(
         [e.reshape(batch, T * n), u.reshape(batch, T * m)], axis=1
     )
     return errors, d.reshape(batch, T * m)
+
+
+def sample_space_time_counters(
+    key, base, H, p, batch: int, n_rounds: int, q=None
+) -> tuple[jax.Array, jax.Array]:
+    """Counter-mode variant of :func:`sample_space_time` (utils/rng.py):
+    sample i's first ``nT`` uniforms are its data errors and the next ``mT``
+    its measurement errors — a pure function of the global sample id, so
+    the stream is mesh-invariant without per-sample keys. ``base`` is the
+    shard's first global sample id (traced)."""
+    from qldpc_tpu.utils.rng import counter_uniform
+
+    H = np.asarray(H)
+    m, n = H.shape
+    T = n_rounds
+    q = p if q is None else q
+    u_all = counter_uniform(key, base, batch, T * n + T * m)
+    e = (u_all[:, : T * n].reshape(batch, T, n) < p).astype(jnp.int8)
+    u = (u_all[:, T * n :].reshape(batch, T, m) < q).astype(jnp.int8)
+    return _detectors(e, u, H, batch, T)
 
 
 def fold_data_correction(v: jax.Array, n: int, n_rounds: int) -> jax.Array:

@@ -11,9 +11,12 @@ elimination, with the same batch-in-lanes masked algorithm:
   * masked XOR row swap and masked elimination, all (m, n_words, BT)
     elementwise ops + reductions over the row axis.
 
-Status: validated against the XLA lanes path in interpret mode (CPU tests);
-real-TPU compilation is a round-2 item (ROADMAP.md) — the decoder keeps the
-XLA lanes backend as its default.
+Status: compiled and validated bit-identical to the XLA lanes path on real
+TPU (v5e). At the Monte-Carlo engine's compaction tier sizes it is 3-10x
+faster per batch than the XLA elimination ([[144,12,12]]: 1.4ms vs 14.4ms
+at 128 lanes, 3.9ms vs 13.1ms at 1024), because the packed system stays
+VMEM-resident across all n column steps instead of round-tripping HBM.
+OSDConfig(backend="auto") picks it on TPU whenever the tile fits VMEM.
 """
 
 from __future__ import annotations
@@ -32,6 +35,7 @@ _WORD = 32
 
 def _elim_kernel(a_in, b_in, a_out, b_out, piv_out, *, m, nw, n, bt):
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, bt), 0)
+    word_ids = jax.lax.broadcasted_iota(jnp.int32, (m, nw, bt), 1)
 
     a_out[:] = a_in[:]
     b_out[:] = b_in[:]
@@ -39,12 +43,24 @@ def _elim_kernel(a_in, b_in, a_out, b_out, piv_out, *, m, nw, n, bt):
     # rank per lane, carried through the loop as a functional value
     rank0 = jnp.zeros((1, bt), jnp.int32)
 
+    def select_sum(vals, mask, axis):
+        # one-hot masked reduction of uint32 values. Mosaic lowers neither
+        # dynamic_slice on values nor unsigned reductions, so route the sum
+        # (exact: zeros plus one selected word) through an int32 bitcast.
+        vi = jax.lax.bitcast_convert_type(vals, jnp.int32)
+        s = jnp.sum(jnp.where(mask, vi, 0), axis=axis, dtype=jnp.int32)
+        return jax.lax.bitcast_convert_type(s, jnp.uint32)
+
+    def extract_word(A, w):
+        # select word w of every packed row (static word axis)
+        return select_sum(A, word_ids == w, axis=1)
+
     def step(col, rank):
         w = col // _WORD
         bit = (col % _WORD).astype(jnp.uint32)
         A = a_out[:]  # (m, nw, bt)
         b = b_out[:]
-        word = jax.lax.dynamic_index_in_dim(A, w, axis=1, keepdims=False)
+        word = extract_word(A, w)
         bits = (word >> bit) & 1  # (m, bt)
 
         cand = (bits == 1) & (row_ids >= rank)
@@ -54,20 +70,20 @@ def _elim_kernel(a_in, b_in, a_out, b_out, piv_out, *, m, nw, n, bt):
         oh_r = row_ids == rank
 
         au = lambda x: x.astype(jnp.uint32)
-        pivrow = jnp.sum(A * au(oh_p)[:, None, :], axis=0, dtype=jnp.uint32)
-        rankrow = jnp.sum(A * au(oh_r)[:, None, :], axis=0, dtype=jnp.uint32)
+        pivrow = select_sum(A, oh_p[:, None, :], axis=0)
+        rankrow = select_sum(A, oh_r[:, None, :], axis=0)
         diff = pivrow ^ rankrow
         swap = au((oh_p ^ oh_r) & has)
         A = A ^ (swap[:, None, :] * diff[None, :, :])
-        pb = jnp.sum(b * au(oh_p), axis=0, dtype=jnp.uint32)
-        rb = jnp.sum(b * au(oh_r), axis=0, dtype=jnp.uint32)
+        pb = select_sum(b, oh_p, axis=0)
+        rb = select_sum(b, oh_r, axis=0)
         b = b ^ (swap * (pb ^ rb)[None, :])
 
-        word2 = jax.lax.dynamic_index_in_dim(A, w, axis=1, keepdims=False)
+        word2 = extract_word(A, w)
         bits2 = (word2 >> bit) & 1
         elim = au((bits2 == 1) & ~oh_r & has)
-        newpiv = jnp.sum(A * au(oh_r)[:, None, :], axis=0, dtype=jnp.uint32)
-        newpb = jnp.sum(b * au(oh_r), axis=0, dtype=jnp.uint32)
+        newpiv = select_sum(A, oh_r[:, None, :], axis=0)
+        newpb = select_sum(b, oh_r, axis=0)
         A = A ^ (elim[:, None, :] * newpiv[None, :, :])
         b = b ^ (elim * newpb[None, :])
 
@@ -108,5 +124,9 @@ def eliminate_pallas(
             jax.ShapeDtypeStruct((m, B), jnp.uint32),
             jax.ShapeDtypeStruct((m, B), jnp.int32),
         ),
+        # the RREF overwrites the input system in place (the kernel's first
+        # statement copies in -> out); aliasing halves the HBM/VMEM footprint
+        # at large batches
+        input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
     )(A, b)

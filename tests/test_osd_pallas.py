@@ -53,3 +53,39 @@ def test_solves_systems(rng):
             if piv_bt[i, r] >= 0:
                 e[piv_bt[i, r]] = b_bt[i, r]
         assert np.array_equal((H @ e) % 2, resid[i]), f"sample {i}"
+
+
+def test_backend_pallas_matches_lanes_osd0(rng):
+    """OSDConfig(backend='pallas') is bit-identical to the lanes backend,
+    including ragged batches that need lane padding."""
+    code = get_code("[[72, 12, 6]]")
+    H = code.Hx
+    B = 100  # not a multiple of batch_tile -> exercises padding
+    errors = (rng.random((B, code.n)) < 0.08).astype(np.uint8)
+    syn = jnp.asarray((errors @ H.T) % 2)
+    llrs = jnp.asarray(rng.normal(size=(B, code.n)), jnp.float32)
+    hard = jnp.asarray((rng.random((B, code.n)) < 0.05).astype(np.int8))
+    sol_l = OSDDecoder(H, OSDConfig(order=0))(syn, llrs, hard)
+    sol_p = OSDDecoder(H, OSDConfig(order=0, backend="pallas", batch_tile=64))(
+        syn, llrs, hard
+    )
+    assert np.array_equal(np.asarray(sol_l), np.asarray(sol_p))
+
+
+def test_backend_pallas_matches_lanes_osde(rng):
+    code = get_code("steane")
+    H = code.Hx
+    B = 48
+    errors = (rng.random((B, code.n)) < 0.15).astype(np.uint8)
+    syn = (errors @ H.T) % 2
+    # flip some syndrome bits so a few systems go inconsistent and the
+    # pattern search actually runs
+    syn[: B // 4] ^= 1
+    syn = jnp.asarray(syn)
+    llrs = jnp.asarray(rng.normal(size=(B, code.n)), jnp.float32)
+    hard = jnp.asarray(np.zeros((B, code.n), np.int8))
+    sol_l = OSDDecoder(H, OSDConfig(order=2))(syn, llrs, hard)
+    sol_p = OSDDecoder(H, OSDConfig(order=2, backend="pallas", batch_tile=16))(
+        syn, llrs, hard
+    )
+    assert np.array_equal(np.asarray(sol_l), np.asarray(sol_p))
