@@ -58,8 +58,58 @@ class SpaceTimeBPDecoder:
         self._var_of_edge = jnp.asarray(g.var_of_edge)
         self._Hf = jnp.asarray(g.H, jnp.float32)
         self.n_vars = self.T * (self.n + self.m)
-        self.decode_fn = self._build()
+        if config.backend == "pallas":
+            self.decode_fn = self._build_pallas()
+        else:
+            self.decode_fn = self._build()
         self._decode = jax.jit(self.decode_fn)
+
+    def _build_pallas(self):
+        """Fused structured kernel (ops/spacetime_bp_pallas.py): VMEM tables
+        are the base code's only, independent of T — the fast path the
+        generic kernel's O(n_st * E_st) tables rule out (decoders/bp.py
+        falls back to XLA exactly there)."""
+        cfg = self.config
+        T, m, n, dc = self.T, self.m, self.n, self.dc
+        # decoder state + transients per lane, in floats (see kernel):
+        state_rows = (3 * (dc + 2) + 2) * T * m + T * n
+        bt = 128
+        while bt * 2 <= cfg.batch_tile and state_rows * bt * 2 * 4 <= 12e6:
+            bt *= 2
+        if state_rows * bt * 4 > 13e6:
+            import warnings
+
+            warnings.warn(
+                f"space-time pallas state would need "
+                f"{state_rows * bt * 4 / 2**20:.1f} MiB VMEM at tile {bt}; "
+                "falling back to the XLA backend",
+                stacklevel=3,
+            )
+            return self._build()
+        from qldpc_tpu.ops.spacetime_bp_pallas import PallasSpaceTimeBPKernel
+
+        kernel = PallasSpaceTimeBPKernel(
+            self.base,
+            T,
+            max_iter=cfg.max_iter,
+            method=cfg.method,
+            alpha=cfg.alpha,
+            damping=cfg.damping,
+            clip_llr=cfg.clip_llr,
+            batch_tile=bt,
+            interpret=jax.default_backend() == "cpu",
+        )
+
+        def decode(detectors: jax.Array, priors: jax.Array) -> BPResult:
+            values, conv, iters = kernel(detectors, priors)
+            return BPResult(
+                hard=(values < 0).astype(jnp.int8),
+                converged=conv,
+                llrs=values,
+                iterations=iters,
+            )
+
+        return decode
 
     @staticmethod
     def _others_product(t):
