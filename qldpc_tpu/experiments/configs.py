@@ -64,6 +64,9 @@ class ExperimentSpec:
 
     # sweep axis overrides
     max_iter_grid: list | None = None  # BP_per_Iteration-style axis
+    osd_order_grid: list | None = None  # combined with max_iter_grid this is
+    # the (bp_iter x osd_order) configuration grid of
+    # rework/main_different_orders.py:44-49
 
     # io
     output_dir: str = "results"
@@ -112,6 +115,13 @@ PRESETS: dict[str, ExperimentSpec] = {
     # rework/main.py:43-50 — BP(100)+OSD-e(7), per-code grids, 10k trials
     "rework": ExperimentSpec(
         name="rework", trials=10_000, bp_max_iter=100, osd_order=7,
+        per_code_rates=dict(REWORK_GRIDS),
+    ),
+    # rework/main_different_orders.py:44-49 — the (bp_iter x osd_order)
+    # configuration grid {50,100} x {0,7} on the rework per-code rates
+    "different-orders": ExperimentSpec(
+        name="different-orders", trials=10_000,
+        max_iter_grid=[50, 100], osd_order_grid=[0, 7],
         per_code_rates=dict(REWORK_GRIDS),
     ),
     # rework/Alvarado.py:69-155 — normalized min-sum with fitted alpha,

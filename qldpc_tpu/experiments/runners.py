@@ -40,18 +40,20 @@ def _bp_config(spec: ExperimentSpec, max_iter=None, alpha=None) -> BPConfig:
     )
 
 
-def _osd_config(spec: ExperimentSpec) -> OSDConfig | None:
-    if spec.osd_order is None:
+def _osd_config(spec: ExperimentSpec, order=None) -> OSDConfig | None:
+    order = order if order is not None else spec.osd_order
+    if order is None:
         return None
     return OSDConfig(
-        order=spec.osd_order,
+        order=order,
         max_combinations=spec.osd_max_combinations,
         backend=spec.osd_backend,
     )
 
 
 def build_engine(
-    spec: ExperimentSpec, code_name: str, mesh=None, max_iter=None, alpha=None
+    spec: ExperimentSpec, code_name: str, mesh=None, max_iter=None, alpha=None,
+    osd_order=None,
 ) -> MonteCarloEngine:
     code = get_code(code_name)
     if spec.channel == "circuit-level":
@@ -69,7 +71,7 @@ def build_engine(
             pdem,
             DEMEngineConfig(
                 bp=_bp_config(spec, max_iter=max_iter, alpha=alpha),
-                osd=_osd_config(spec),
+                osd=_osd_config(spec, order=osd_order),
                 batch_size=spec.batch_size,
                 osd_fraction=spec.osd_fraction,
             ),
@@ -80,7 +82,7 @@ def build_engine(
         code,
         EngineConfig(
             bp=_bp_config(spec, max_iter=max_iter, alpha=alpha),
-            osd=_osd_config(spec),
+            osd=_osd_config(spec, order=osd_order),
             channel=spec.channel,
             n_rounds=spec.n_rounds,
             syndrome_flip_rate=spec.syndrome_flip_rate,
@@ -141,7 +143,9 @@ def run_experiment(
         rates = [float(p) for p in spec.rates_for(code_name)]
         results[code_name] = {}
         iter_grid = spec.max_iter_grid or [None]
+        order_grid = spec.osd_order_grid or [None]
         for max_iter in iter_grid:
+          for osd_order in order_grid:
             eng = None
             for i, p in enumerate(rates):
                 alpha = None
@@ -152,13 +156,13 @@ def run_experiment(
                             method=spec.bp_method, seed=spec.seed + 17 * i,
                         )
                 # the engine is p-independent (p is a traced scalar):
-                # build once per (code, max_iter) unless a fitted alpha is
-                # baked into the decoder per rate
+                # build once per (code, max_iter, osd_order) unless a fitted
+                # alpha is baked into the decoder per rate
                 if eng is None or spec.estimate_alpha:
                     with timer.phase("engine-build"):
                         eng = build_engine(
                             spec, code_name, mesh=mesh, max_iter=max_iter,
-                            alpha=alpha,
+                            alpha=alpha, osd_order=osd_order,
                         )
                 with timer.phase("sweep"):
                     if ckpt is not None:
@@ -170,8 +174,13 @@ def run_experiment(
                 d = counters_to_dict(counters)
                 if alpha is not None:
                     d["alpha"] = alpha
-                key = p if max_iter is None else (max_iter, p)
-                if spec.max_iter_grid:
+                if spec.osd_order_grid:
+                    key = (max_iter, osd_order, p)
+                elif max_iter is not None:
+                    key = (max_iter, p)
+                else:
+                    key = p
+                if spec.max_iter_grid and not spec.osd_order_grid:
                     # LLR-distribution diagnostics (the violin data of
                     # BP_per_Iteration.py): posterior LLRs of one batch,
                     # split by the true bit value, as fixed-bin histograms
@@ -223,7 +232,7 @@ def _save_reference_format(spec: ExperimentSpec, results: dict, out: Path) -> No
     room for iteration grids or per-code rate grids); other specs still get
     the native npz + plots from :func:`_plot_results`."""
     codes = [c for c in results if c != "_meta"]
-    if not codes or spec.max_iter_grid:
+    if not codes or spec.max_iter_grid or spec.osd_order_grid:
         return
     rates0 = sorted(results[codes[0]])
     if not all(sorted(results[c]) == rates0 for c in codes):
@@ -247,6 +256,17 @@ def _save_reference_format(spec: ExperimentSpec, results: dict, out: Path) -> No
 def _plot_results(spec: ExperimentSpec, results: dict, out: Path) -> None:
     codes = [c for c in results if c != "_meta"]
     if not codes:
+        return
+    if spec.osd_order_grid:
+        # (bp_iter x osd_order) configuration panels, one per (code, config)
+        # (rework/main_different_orders.py's comparison plot)
+        panels = {}
+        for c in codes:
+            for (mi, w, p), d in sorted(results[c].items()):
+                panels.setdefault(f"{c} BP{mi}·OSD{w}", {})[p] = d
+        plotting.plot_rework_panels(
+            panels, path=out / f"{spec.name}_panels.png", title=spec.name
+        )
         return
     if spec.max_iter_grid:
         # LER vs max_iter (BP_per_Iteration plot)

@@ -1,9 +1,23 @@
 """Full-scale LER validation campaign vs the reference's archived curves.
 
-Runs the study workload (BP(50)+OSD-0, code capacity) and the BP-only
-workload at reference scale, compares every (code, p) cell against the
-archived values in BASELINE.md §1-§3 within binomial error bars, and writes
-a markdown report.
+Workloads, each compared cell-by-cell against the archived values within
+binomial error bars:
+
+  * bp+osd0       — BP(50)+OSD-0, code capacity (BASELINE.md §1)
+  * bp-only       — BP(50), code capacity (§2, CC-50k archives)
+  * doubled+osde7 — BP(200)+OSD-e(7), doubled channel (§4: data/3-BPOSD.npz,
+                    10k trials; see the archive-disambiguation note at
+                    DOUBLED_REF below — BASELINE.md's §4 attribution of
+                    2-BPOSD is wrong)
+  * cc+osde7-200  — same decoder on the plain code-capacity channel
+                    (data/2-BPOSD.npz, 50k trials). On in-image syndromes
+                    OSD-e == OSD-0 by the early return (OSD_enhanced.py:59),
+                    so the archived decoder's OSD variant cannot move these
+                    cells.
+  * rework+osde7  — BP(50)+OSD-e(7), code capacity (§5,
+                    rework/simulation_results.npz; avg_iterations ~ 49-50 at
+                    p=0.1 pins that archive's effective iteration cap at 50,
+                    BASELINE.md §5 note)
 
 Usage:  python scripts/validate_baseline.py [--trials 10000] [--out results/validation]
 """
@@ -48,6 +62,45 @@ BP_REF = {
 }
 BP_REF_TRIALS = 50_000
 
+# BASELINE §4 archives, disambiguated by reproducing them (2026-08-18):
+# the three `k-BPOSD.npz` files share the decoder but differ in channel/
+# grid/scale — identified by integer error counts and by direct matches:
+#   1-BPOSD: doubled channel, grid [0.05..0.008] (7 pts), 10k trials
+#   2-BPOSD: PLAIN code-capacity channel, grid [0.01..0.0009], 50k trials
+#            (BASELINE.md's "doubled, 10k" label is wrong on both counts —
+#            doubled at p=0.01 gives LER 1.25e-2 for [[72]], the archive
+#            says 1.54e-3, and its counts are integers only at /5e4)
+#   3-BPOSD: doubled channel, grid [0.01..0.0009], 10k trials (our doubled
+#            run reproduces [[72]] idx0 = 0.0125 exactly)
+GRID_B = [0.01, 0.006, 0.005, 0.004]
+DOUBLED_REF = {  # data/3-BPOSD.npz
+    "[[72, 12, 6]]": {0: 0.0125, 1: 0.0024, 2: 0.0015, 3: 0.0008},
+    "[[90, 8, 10]]": {0: 0.0014, 1: 0.0001, 2: 0.0, 3: 0.0},
+    "[[108, 8, 10]]": {0: 0.002, 1: 0.0, 2: 0.0001, 3: 0.0},
+    "[[144, 12, 12]]": {0: 0.0009, 1: 0.0001, 2: 0.0003, 3: 0.0},
+    "[[288, 12, 18]]": {0: 0.0009, 1: 0.0002, 2: 0.0001, 3: 0.0},
+}
+DOUBLED_REF_TRIALS = 10_000
+CC_BPOSD_REF = {  # data/2-BPOSD.npz
+    "[[72, 12, 6]]": {0: 1.54e-3, 1: 4.4e-4, 2: 1e-4, 3: 4e-5},
+    "[[90, 8, 10]]": {0: 1.4e-4, 1: 2e-5, 2: 2e-5, 3: 0.0},
+    "[[108, 8, 10]]": {0: 2.6e-4, 1: 2e-5, 2: 2e-5, 3: 0.0},
+    "[[144, 12, 12]]": {0: 1.8e-4, 1: 4e-5, 2: 6e-5, 3: 2e-5},
+    "[[288, 12, 18]]": {0: 2.2e-4, 1: 2e-5, 2: 0.0, 3: 0.0},
+}
+CC_BPOSD_REF_TRIALS = 50_000
+
+# BASELINE.md §5: rework per-code OSD-e(7) cells, 10k trials, BP cap ~50
+REWORK_GRID = [0.04, 0.05, 0.06, 0.1]
+REWORK_REF = {
+    "[[72, 12, 6]]": {0: 0.0813, 1: 0.1525, 2: 0.2539, 3: 0.6637},
+    "[[90, 8, 10]]": {0: 0.0243, 1: 0.0670, 2: 0.1358, 3: 0.5929},
+    "[[108, 8, 10]]": {0: 0.0162, 1: 0.0538, 2: 0.1276, 3: 0.6130},
+    "[[144, 12, 12]]": {0: 0.0157, 1: 0.0583, 2: 0.1432, 3: 0.7235},
+    "[[288, 12, 18]]": {0: 0.0022, 1: 0.0216, 2: 0.1042, 3: 0.8329},
+}
+REWORK_REF_TRIALS = 10_000
+
 
 def bars(p_ref, n_ref, p_got, n_got, sigmas=3.0, rel=0.0):
     """Two-sample binomial comparison tolerance.
@@ -66,31 +119,62 @@ def bars(p_ref, n_ref, p_got, n_got, sigmas=3.0, rel=0.0):
     return sigmas * np.sqrt(max(var, 1e-12)) + 2.0 / min(n_ref, n_got) + rel * p_ref
 
 
-def run(trials, batch_size, out_dir, codes):
+WORKLOADS = {
+    "bp+osd0": dict(
+        ref=BPOSD_REF, ref_trials=BPOSD_REF_TRIALS, grid=P_GRID,
+        bp=dict(max_iter=50), osd=OSDConfig(order=0), channel="code-capacity",
+        rel=0.0,
+    ),
+    "bp-only": dict(
+        ref=BP_REF, ref_trials=BP_REF_TRIALS, grid=P_GRID,
+        bp=dict(max_iter=50), osd=None, channel="code-capacity", rel=0.25,
+    ),
+    "doubled+osde7": dict(
+        ref=DOUBLED_REF, ref_trials=DOUBLED_REF_TRIALS, grid=GRID_B,
+        bp=dict(max_iter=200), osd=OSDConfig(order=7), channel="doubled",
+        rel=0.0,
+    ),
+    "cc+osde7-200": dict(
+        ref=CC_BPOSD_REF, ref_trials=CC_BPOSD_REF_TRIALS, grid=GRID_B,
+        bp=dict(max_iter=200), osd=OSDConfig(order=7), channel="code-capacity",
+        rel=0.0,
+    ),
+    "rework+osde7": dict(
+        ref=REWORK_REF, ref_trials=REWORK_REF_TRIALS, grid=REWORK_GRID,
+        # BP *failure* rates are implementation-sensitive (see bars());
+        # at these p most failures route through OSD, whose output is
+        # deterministic given the syndrome — a small relative slack covers
+        # the residual BP-convergence sensitivity
+        bp=dict(max_iter=50), osd=OSDConfig(order=7), channel="code-capacity",
+        rel=0.05,
+    ),
+}
+
+
+def run(trials, batch_size, out_dir, codes, workloads=None):
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     rows = []
     fails = 0
-    for workload, ref_table, ref_trials, osd in (
-        ("bp+osd0", BPOSD_REF, BPOSD_REF_TRIALS, OSDConfig(order=0)),
-        ("bp-only", BP_REF, BP_REF_TRIALS, None),
-    ):
+    for workload, w in WORKLOADS.items():
+        if workloads and workload not in workloads:
+            continue
         for code_name in codes:
-            if code_name not in ref_table:
+            if code_name not in w["ref"]:
                 continue
             eng = MonteCarloEngine(
                 get_code(code_name),
                 EngineConfig(
-                    bp=BPConfig(max_iter=50, backend="pallas", batch_tile=512),
-                    osd=osd,
+                    bp=BPConfig(backend="pallas", batch_tile=512, **w["bp"]),
+                    osd=w["osd"],
+                    channel=w["channel"],
                     batch_size=batch_size,
                 ),
             )
-            for idx, ref_ler in ref_table[code_name].items():
-                p = float(P_GRID[idx])
+            for idx, ref_ler in w["ref"][code_name].items():
+                p = float(w["grid"][idx])
                 d = counters_to_dict(eng.run_rate(p, trials=trials, seed=100 + idx))
-                rel = 0.25 if workload == "bp-only" else 0.0
-                tol = bars(ref_ler, ref_trials, d["ler"], trials, rel=rel)
+                tol = bars(ref_ler, w["ref_trials"], d["ler"], trials, rel=w["rel"])
                 ok = abs(d["ler"] - ref_ler) <= tol
                 fails += 0 if ok else 1
                 rows.append(
@@ -98,7 +182,7 @@ def run(trials, batch_size, out_dir, codes):
                          got=d["ler"], tol=tol, ok=bool(ok), trials=trials)
                 )
                 print(
-                    f"{workload:8s} {code_name:16s} p={p:.5f} ref={ref_ler:.5g} "
+                    f"{workload:14s} {code_name:16s} p={p:.5f} ref={ref_ler:.5g} "
                     f"got={d['ler']:.5g} tol={tol:.4f} {'OK' if ok else 'MISMATCH'}",
                     flush=True,
                 )
@@ -128,5 +212,9 @@ if __name__ == "__main__":
     ap.add_argument("--batch-size", type=int, default=4096)
     ap.add_argument("--out", default="results/validation")
     ap.add_argument("--codes", nargs="+", default=list(BPOSD_REF))
+    ap.add_argument("--workloads", nargs="+", default=None,
+                    help=f"subset of {list(WORKLOADS)}; default all")
     a = ap.parse_args()
-    raise SystemExit(min(run(a.trials, a.batch_size, a.out, a.codes), 1))
+    raise SystemExit(
+        min(run(a.trials, a.batch_size, a.out, a.codes, a.workloads), 1)
+    )

@@ -77,6 +77,21 @@ class TestRunAndIO:
         # the LER-vs-iterations plot must be emitted for iteration grids
         assert (tmp_path / "bp-iteration_ler_vs_iters.png").exists()
 
+    def test_combined_order_grid(self, tmp_path):
+        """(bp_iter x osd_order) configuration grid of
+        rework/main_different_orders.py: keys are (max_iter, order, p) and
+        the comparison panels are emitted."""
+        spec = get_preset("different-orders").replace(
+            codes=["steane"], trials=64, batch_size=64,
+            max_iter_grid=[5, 10], osd_order_grid=[0, 2],
+            per_code_rates={"steane": [0.03, 0.06]},
+        ).replace(output_dir=str(tmp_path))
+        results = run_experiment(spec, verbose=False, checkpoint=False)
+        keys = set(results["steane"])
+        assert (5, 0, 0.03) in keys and (10, 2, 0.06) in keys
+        assert len(keys) == 8
+        assert (tmp_path / "different-orders_panels.png").exists()
+
     def test_circuit_level_preset(self, tmp_path):
         """The studyComplete-equivalent preset: parametric memory-experiment
         DEM per code, one engine build for the whole rate grid."""
