@@ -83,6 +83,11 @@ class DEMEngine(MonteCarloEngine):
         self.m_checks = dem.H.shape[0]
 
         self._bp = BPDecoder(dem.H, config.bp)
+        self._bp_short = None
+        if 0 < config.rescue_iters < config.bp.max_iter:
+            self._bp_short = BPDecoder(
+                dem.H, dataclasses.replace(config.bp, max_iter=config.rescue_iters)
+            )
         self._osd = OSDDecoder(dem.H, config.osd) if config.osd is not None else None
         self._Hf = jnp.asarray(dem.H, jnp.float32)
         self._Lf = jnp.asarray(dem.L, jnp.float32)

@@ -63,6 +63,15 @@ class EngineConfig:
     fused_dispatch: bool = True  # True: all batches of a rate in one
     # dispatched program (fewest host round trips; robust on high-latency
     # links); False: async pipelined per-batch dispatches
+    rescue_iters: int = 0  # >0: two-phase decoding — BP(rescue_iters) on the
+    # whole batch, then the full BP(bp.max_iter) only on compacted failures
+    # (lax.cond tier ladder like OSD). BIT-EXACT with single-phase: BP is
+    # deterministic from (syndrome, priors), samples converged within the
+    # short phase are frozen at the same state a long run would freeze them,
+    # and the top tier spans the whole local batch so no failure is ever
+    # left at short-phase quality. Pays off at mid p where one straggler
+    # lane keeps a whole Pallas tile iterating.
+    rescue_tiers: tuple = (256, 2048)
 
 
 @dataclasses.dataclass
@@ -106,6 +115,11 @@ class MonteCarloEngine:
         self.m_checks = self._H_dec.shape[0]
 
         self._bp = self._make_bp_decoder(H)
+        self._bp_short = None
+        if 0 < config.rescue_iters < config.bp.max_iter:
+            self._bp_short = self._make_bp_decoder(
+                H, dataclasses.replace(config.bp, max_iter=config.rescue_iters)
+            )
         self._osd = (
             OSDDecoder(self._H_dec, config.osd) if config.osd is not None else None
         )
@@ -126,20 +140,20 @@ class MonteCarloEngine:
             return self.n_vars + self.m_checks  # errors + syndrome flips
         return self.n_vars  # space-time's n*T + m*T variables ARE its draws
 
-    def _make_bp_decoder(self, H_base):
+    def _make_bp_decoder(self, H_base, bp_cfg: BPConfig | None = None):
         """Space-time sweeps use the structured decoder (no materialized
         kron; base-code tables only — decoders/spacetime_bp.py) whenever the
         configuration allows; everything else (and unsupported configs)
         decodes the materialized matrix."""
-        cfg = self.config
-        if cfg.channel == "space-time":
+        bp_cfg = bp_cfg if bp_cfg is not None else self.config.bp
+        if self.config.channel == "space-time":
             try:
                 from qldpc_tpu.decoders.spacetime_bp import SpaceTimeBPDecoder
 
-                return SpaceTimeBPDecoder(H_base, self.n_rounds, cfg.bp)
+                return SpaceTimeBPDecoder(H_base, self.n_rounds, bp_cfg)
             except NotImplementedError:
                 pass
-        return BPDecoder(self._H_dec, cfg.bp)
+        return BPDecoder(self._H_dec, bp_cfg)
 
     # ------------------------------------------------------------------ build
     def _sample(self, key, base, p):
@@ -185,6 +199,46 @@ class MonteCarloEngine:
         else:
             raise ValueError(f"unknown channel {self.config.channel!r}")
         return errors, syn, priors
+
+    def _decode_with_rescue(self, syn, priors):
+        """Two-phase decode (config.rescue_iters): BP(short) on everything,
+        then the full BP(max_iter) on compacted failures only (smallest
+        fitting tier via a lax.cond ladder; the top tier spans the whole
+        batch, so results are bit-exact with a single long run — BP is
+        deterministic from (syndrome, priors))."""
+        if self._bp_short is None:
+            return self._bp.decode_fn(syn, priors)
+        from qldpc_tpu.decoders.bp import BPResult
+
+        r1 = self._bp_short.decode_fn(syn, priors)
+        conv1 = r1.converged
+        n_fail = jnp.sum((~conv1).astype(jnp.int32))
+        B = syn.shape[0]
+
+        def rescue_at(k: int) -> BPResult:
+            sel = jnp.argsort(conv1, stable=True)[:k]
+            r2 = self._bp.decode_fn(syn[sel], priors)
+            keep = conv1[sel]
+            return BPResult(
+                hard=r1.hard.at[sel].set(
+                    jnp.where(keep[:, None], r1.hard[sel], r2.hard)
+                ),
+                converged=conv1.at[sel].set(keep | r2.converged),
+                llrs=r1.llrs.at[sel].set(
+                    jnp.where(keep[:, None], r1.llrs[sel], r2.llrs)
+                ),
+                iterations=r1.iterations.at[sel].set(
+                    jnp.where(keep, r1.iterations[sel], r2.iterations)
+                ),
+            )
+
+        tiers = sorted({int(k) for k in self.config.rescue_tiers if 0 < k < B})
+        run = lambda: rescue_at(B)
+        for k in reversed(tiers):
+            run = lambda k=k, nxt=run: jax.lax.cond(
+                n_fail <= k, lambda: rescue_at(k), nxt
+            )
+        return jax.lax.cond(n_fail == 0, lambda: r1, run)
 
     def _syndrome(self, errors):
         s = jnp.dot(
@@ -269,7 +323,7 @@ class MonteCarloEngine:
             sample_ids = idx * local_B + jnp.arange(local_B)
             base = base0 + jnp.uint32(idx) * jnp.uint32(local_B)
             errors, syn, priors = self._sample(key, base, p)
-            bp_res = self._bp.decode_fn(syn, priors)
+            bp_res = self._decode_with_rescue(syn, priors)
             overflow = jnp.zeros((), jnp.int32)
             if self._osd is not None:
                 conv = bp_res.converged

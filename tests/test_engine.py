@@ -218,3 +218,30 @@ class TestBasisZ:
         d = counters_to_dict(eng.run_rate(0.05, trials=512, seed=0))
         assert d["trials"] == 512
         assert 0 < d["ler"] < 1  # BB codes are CSS-symmetric: comparable LER
+
+
+class TestRescue:
+    def test_two_phase_bit_exact_with_single_phase(self):
+        """rescue_iters two-phase decoding must produce bit-identical
+        counters to the plain engine: BP is deterministic from (syndrome,
+        priors) and the top rescue tier spans the whole batch."""
+        kw = dict(bp=BPConfig(max_iter=30), osd=OSDConfig(order=0),
+                  batch_size=256)
+        code = get_code("[[72, 12, 6]]")
+        for p in (0.02, 0.06):
+            plain = MonteCarloEngine(code, EngineConfig(**kw)).run_rate(
+                p, trials=512, seed=3
+            )
+            rescued = MonteCarloEngine(
+                code, EngineConfig(**kw, rescue_iters=5, rescue_tiers=(16,))
+            ).run_rate(p, trials=512, seed=3)
+            for a, b in zip(plain, rescued):
+                assert np.array_equal(np.asarray(a), np.asarray(b)), p
+
+    def test_rescue_noop_when_geq_max_iter(self):
+        eng = MonteCarloEngine(
+            get_code("steane"),
+            EngineConfig(bp=BPConfig(max_iter=10), batch_size=128,
+                         rescue_iters=10),
+        )
+        assert eng._bp_short is None
