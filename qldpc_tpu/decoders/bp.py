@@ -146,8 +146,15 @@ class BPDecoder:
         right = jnp.concatenate([suf[..., 1:], ones], axis=-1)
         return left * right
 
-    def _check_messages(self, Q: jax.Array, syndrome_sign: jax.Array) -> jax.Array:
-        """Check-to-variable messages R (B, E), already alpha-scaled."""
+    def _check_messages(
+        self, Q: jax.Array, syndrome_sign: jax.Array, alpha=None
+    ) -> jax.Array:
+        """Check-to-variable messages R (B, E), already alpha-scaled.
+
+        ``alpha=None`` bakes the static ``config.alpha`` (unchanged HLO);
+        passing a traced scalar lets one compiled program serve a whole
+        fitted-alpha sweep (Alvarado per-rate alphas would otherwise force a
+        cold recompile per grid point)."""
         cfg = self.config
         dc = self.graph.dc_max
         ssign = jnp.repeat(syndrome_sign[:, :, None], dc, axis=-1)
@@ -175,14 +182,17 @@ class BPDecoder:
                 jnp.repeat(min1, dc, axis=-1),
             )
             R = ssign * r_signs * mags
-        if cfg.alpha != 1.0:
+        if alpha is not None:
+            R = R * alpha.astype(self._dtype)
+        elif cfg.alpha != 1.0:
             R = R * jnp.asarray(cfg.alpha, self._dtype)
         return self._scatter_check(R)
 
-    def _step(self, carry: _Carry, syndrome: jax.Array, syndrome_sign, priors):
+    def _step(self, carry: _Carry, syndrome: jax.Array, syndrome_sign, priors,
+              alpha=None):
         """One BP iteration with convergence freeze."""
         cfg, g = self.config, self.graph
-        R = self._check_messages(carry.Q, syndrome_sign)
+        R = self._check_messages(carry.Q, syndrome_sign, alpha)
 
         rv = self._gather_var(R, phantom=jnp.asarray(0.0, self._dtype))
         values = jnp.sum(rv, axis=-1) + priors  # (B, n)
@@ -216,7 +226,9 @@ class BPDecoder:
     def _build(self):
         cfg, g = self.config, self.graph
 
-        def decode(syndromes: jax.Array, priors: jax.Array) -> BPResult:
+        def decode(
+            syndromes: jax.Array, priors: jax.Array, alpha=None
+        ) -> BPResult:
             B = syndromes.shape[0]
             syndromes = syndromes.astype(jnp.int32)
             priors = jnp.broadcast_to(
@@ -235,7 +247,10 @@ class BPDecoder:
             )
 
             def scan_step(c, _):
-                return self._step(c, syndromes, syndrome_sign, priors), None
+                return (
+                    self._step(c, syndromes, syndrome_sign, priors, alpha),
+                    None,
+                )
 
             if cfg.chunk_size:
                 n_chunks = cfg.max_iter // cfg.chunk_size
@@ -293,7 +308,14 @@ class BPDecoder:
             interpret=jax.default_backend() == "cpu",
         )
 
-        def decode(syndromes: jax.Array, priors: jax.Array) -> BPResult:
+        def decode(
+            syndromes: jax.Array, priors: jax.Array, alpha=None
+        ) -> BPResult:
+            if alpha is not None:
+                raise ValueError(
+                    "the pallas backend bakes alpha statically; use the xla "
+                    "backend for traced-alpha sweeps"
+                )
             values, conv, iters = kernel(syndromes, priors)
             return BPResult(
                 hard=(values < 0).astype(jnp.int8),
@@ -304,8 +326,11 @@ class BPDecoder:
 
         return decode
 
-    def __call__(self, syndromes, priors) -> BPResult:
-        return self._decode(jnp.asarray(syndromes), jnp.asarray(priors))
+    def __call__(self, syndromes, priors, alpha=None) -> BPResult:
+        return self._decode(
+            jnp.asarray(syndromes), jnp.asarray(priors),
+            None if alpha is None else jnp.asarray(alpha),
+        )
 
     # ---- auxiliary: raw check messages for alpha estimation -----------------
     @functools.cached_property

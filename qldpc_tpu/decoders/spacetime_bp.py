@@ -100,7 +100,14 @@ class SpaceTimeBPDecoder:
             interpret=jax.default_backend() == "cpu",
         )
 
-        def decode(detectors: jax.Array, priors: jax.Array) -> BPResult:
+        def decode(
+            detectors: jax.Array, priors: jax.Array, alpha=None
+        ) -> BPResult:
+            if alpha is not None:
+                raise ValueError(
+                    "the pallas backend bakes alpha statically; use the xla "
+                    "backend for traced-alpha sweeps"
+                )
             values, conv, iters = kernel(detectors, priors)
             return BPResult(
                 hard=(values < 0).astype(jnp.int8),
@@ -124,7 +131,7 @@ class SpaceTimeBPDecoder:
         cfg = self.config
         T, m, n, E, dc = self.T, self.m, self.n, self.E, self.dc
 
-        def step(carry, syn, ssign, prior_sp, prior_u):
+        def step(carry, syn, ssign, prior_sp, prior_u, alpha=None):
             Qs, Qa, Qb, values_sp, values_u, conv, iters, it = carry
             B = Qs.shape[0]
 
@@ -155,7 +162,9 @@ class SpaceTimeBPDecoder:
                     jnp.repeat(min1, dc + 2, axis=-1),
                 )
                 R = ssign_full * r_signs * mags
-            if cfg.alpha != 1.0:
+            if alpha is not None:
+                R = R * alpha.astype(R.dtype)
+            elif cfg.alpha != 1.0:
                 R = R * jnp.float32(cfg.alpha)
             R_sp = R[..., :dc].reshape(B, T, E)
             R_a = R[..., dc]
@@ -222,7 +231,9 @@ class SpaceTimeBPDecoder:
             )
             return carry
 
-        def decode(detectors: jax.Array, priors: jax.Array) -> BPResult:
+        def decode(
+            detectors: jax.Array, priors: jax.Array, alpha=None
+        ) -> BPResult:
             B = detectors.shape[0]
             syn = detectors.astype(jnp.float32).reshape(B, T, m)
             ssign = 1.0 - 2.0 * syn
@@ -249,7 +260,7 @@ class SpaceTimeBPDecoder:
             )
 
             def scan_step(c, _):
-                return step(c, syn, ssign, prior_sp, prior_u), None
+                return step(c, syn, ssign, prior_sp, prior_u, alpha), None
 
             if cfg.chunk_size:
                 def cond(c):
@@ -276,5 +287,8 @@ class SpaceTimeBPDecoder:
 
         return decode
 
-    def __call__(self, detectors, priors) -> BPResult:
-        return self._decode(jnp.asarray(detectors), jnp.asarray(priors))
+    def __call__(self, detectors, priors, alpha=None) -> BPResult:
+        return self._decode(
+            jnp.asarray(detectors), jnp.asarray(priors),
+            None if alpha is None else jnp.asarray(alpha),
+        )

@@ -155,20 +155,28 @@ def run_experiment(
                             get_code(code_name).Hx, p,
                             method=spec.bp_method, seed=spec.seed + 17 * i,
                         )
-                # the engine is p-independent (p is a traced scalar):
-                # build once per (code, max_iter, osd_order) unless a fitted
-                # alpha is baked into the decoder per rate
-                if eng is None or spec.estimate_alpha:
+                # the engine is p-independent (p is a traced scalar) and so
+                # is a fitted alpha on xla backends (a traced per-rate
+                # scalar): build once per (code, max_iter, osd_order). Only
+                # pallas backends bake alpha and rebuild per rate.
+                alpha_traced = spec.bp_backend != "pallas"
+                if eng is None or (spec.estimate_alpha and not alpha_traced):
                     with timer.phase("engine-build"):
                         eng = build_engine(
                             spec, code_name, mesh=mesh, max_iter=max_iter,
-                            alpha=alpha, osd_order=osd_order,
+                            alpha=None if alpha_traced else alpha,
+                            osd_order=osd_order,
                         )
+                run_alpha = alpha if (alpha is not None and alpha_traced) else None
                 with timer.phase("sweep"):
                     if ckpt is not None:
-                        counters = ckpt.run_rate(eng, p, spec.trials, spec.seed + i)
+                        counters = ckpt.run_rate(
+                            eng, p, spec.trials, spec.seed + i, alpha=run_alpha
+                        )
                     else:
-                        counters = eng.run_rate(p, spec.trials, seed=spec.seed + i)
+                        counters = eng.run_rate(
+                            p, spec.trials, seed=spec.seed + i, alpha=run_alpha
+                        )
                 from qldpc_tpu.mc import counters_to_dict
 
                 d = counters_to_dict(counters)

@@ -52,7 +52,9 @@ class CheckpointManager:
         arrays = {k: np.asarray(v) for k, v in counters._asdict().items()}
         np.savez(path, meta=json.dumps({"next_batch": next_batch}), **arrays)
 
-    def run_rate(self, engine, p: float, trials: int, seed: int) -> Counters:
+    def run_rate(
+        self, engine, p: float, trials: int, seed: int, alpha=None
+    ) -> Counters:
         """Drive ``engine.run_rate`` with resume + periodic persistence."""
         total, start = self.load(engine, p, seed)
 
@@ -61,5 +63,6 @@ class CheckpointManager:
                 self.save(engine, p, seed, running, b + 1)
 
         return engine.run_rate(
-            p, trials, seed=seed, start_batch=start, init=total, on_batch=on_batch
+            p, trials, seed=seed, start_batch=start, init=total,
+            on_batch=on_batch, alpha=alpha,
         )

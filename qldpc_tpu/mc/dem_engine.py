@@ -91,6 +91,7 @@ class DEMEngine(MonteCarloEngine):
         self._osd = OSDDecoder(dem.H, config.osd) if config.osd is not None else None
         self._Hf = jnp.asarray(dem.H, jnp.float32)
         self._Lf = jnp.asarray(dem.L, jnp.float32)
+        self._alpha_traceable = config.bp.backend != "pallas"
         self._parametric = isinstance(dem, ParametricDEM)
         if self._parametric:
             self._ratios = jnp.asarray(dem.ratios, jnp.float32)

@@ -125,6 +125,10 @@ class MonteCarloEngine:
         )
         self._Hf = jnp.asarray(self._H_dec, jnp.float32)
         self._Lf = jnp.asarray(L, jnp.float32)
+        # traced per-rate alpha (Alvarado sweeps reuse one compiled program);
+        # the pallas kernels bake alpha statically, so they keep the static
+        # path and fitted-alpha sweeps on pallas rebuild per rate instead
+        self._alpha_traceable = config.bp.backend != "pallas"
         self._stride = self._draws_per_sample()
         if config.batch_size * ((self._stride + 1) // 2) >= 2**32:
             raise ValueError(
@@ -200,24 +204,24 @@ class MonteCarloEngine:
             raise ValueError(f"unknown channel {self.config.channel!r}")
         return errors, syn, priors
 
-    def _decode_with_rescue(self, syn, priors):
+    def _decode_with_rescue(self, syn, priors, alpha=None):
         """Two-phase decode (config.rescue_iters): BP(short) on everything,
         then the full BP(max_iter) on compacted failures only (smallest
         fitting tier via a lax.cond ladder; the top tier spans the whole
         batch, so results are bit-exact with a single long run — BP is
         deterministic from (syndrome, priors))."""
         if self._bp_short is None:
-            return self._bp.decode_fn(syn, priors)
+            return self._bp.decode_fn(syn, priors, alpha)
         from qldpc_tpu.decoders.bp import BPResult
 
-        r1 = self._bp_short.decode_fn(syn, priors)
+        r1 = self._bp_short.decode_fn(syn, priors, alpha)
         conv1 = r1.converged
         n_fail = jnp.sum((~conv1).astype(jnp.int32))
         B = syn.shape[0]
 
         def rescue_at(k: int) -> BPResult:
             sel = jnp.argsort(conv1, stable=True)[:k]
-            r2 = self._bp.decode_fn(syn[sel], priors)
+            r2 = self._bp.decode_fn(syn[sel], priors, alpha)
             keep = conv1[sel]
             return BPResult(
                 hard=r1.hard.at[sel].set(
@@ -313,7 +317,7 @@ class MonteCarloEngine:
 
         k_osd = max(1, int(round(local_B * self.config.osd_fraction)))
 
-        def local_step(key, p, n_valid, base0):
+        def local_step(key, p, n_valid, base0, alpha):
             idx = jax.lax.axis_index(BATCH_AXIS)
             # counter-mode RNG over GLOBAL sample ids (not shard ids): the
             # stream — and therefore every counter — is mesh-shape-invariant.
@@ -323,7 +327,9 @@ class MonteCarloEngine:
             sample_ids = idx * local_B + jnp.arange(local_B)
             base = base0 + jnp.uint32(idx) * jnp.uint32(local_B)
             errors, syn, priors = self._sample(key, base, p)
-            bp_res = self._decode_with_rescue(syn, priors)
+            bp_res = self._decode_with_rescue(
+                syn, priors, alpha if self._alpha_traceable else None
+            )
             overflow = jnp.zeros((), jnp.int32)
             if self._osd is not None:
                 conv = bp_res.converged
@@ -368,7 +374,7 @@ class MonteCarloEngine:
         sharded = jax.shard_map(
             local_step,
             mesh=self.mesh,
-            in_specs=(P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(), P()),
             out_specs=P(),
             check_vma=False,
         )
@@ -387,12 +393,12 @@ class MonteCarloEngine:
             return fn
         B = self.config.batch_size
 
-        def local_multi(key, p, trials, offset, base0):
+        def local_multi(key, p, trials, offset, base0, alpha):
             def body(i, tot):
                 b = offset + i
                 kb = jax.random.fold_in(key, b)
                 n_valid = jnp.clip(trials - b * B, 0, B)
-                return tot + self._local_step(kb, p, n_valid, base0)
+                return tot + self._local_step(kb, p, n_valid, base0, alpha)
 
             return jax.lax.fori_loop(0, n_batches, body, zeros_counters())
 
@@ -400,7 +406,7 @@ class MonteCarloEngine:
             jax.shard_map(
                 local_multi,
                 mesh=self.mesh,
-                in_specs=(P(), P(), P(), P(), P()),
+                in_specs=(P(), P(), P(), P(), P(), P()),
                 out_specs=P(),
                 check_vma=False,
             )
@@ -411,9 +417,18 @@ class MonteCarloEngine:
     # -------------------------------------------------------------------- run
     def run_rate(
         self, p: float, trials: int, seed: int = 0, start_batch: int = 0,
-        init: Counters | None = None, on_batch=None,
+        init: Counters | None = None, on_batch=None, alpha: float | None = None,
     ) -> Counters:
-        """Accumulate `trials` samples at one error rate."""
+        """Accumulate `trials` samples at one error rate.
+
+        ``alpha`` overrides the decoder's normalization for this rate as a
+        TRACED scalar (xla backends only) — fitted-alpha sweeps reuse one
+        compiled program instead of recompiling per grid point."""
+        if alpha is not None and not self._alpha_traceable:
+            raise ValueError(
+                "per-rate alpha override needs an xla BP backend (the pallas "
+                "kernels bake alpha statically — rebuild the engine instead)"
+            )
         if trials >= 2**31:
             # device-side validity arithmetic is int32 (fori carries)
             raise ValueError(
@@ -423,6 +438,7 @@ class MonteCarloEngine:
         B = self.config.batch_size
         n_batches = -(-trials // B)
         key = jax.random.key(seed)
+        a32 = jnp.float32(self.config.bp.alpha if alpha is None else alpha)
         to_host = lambda c: jax.tree.map(
             lambda x: np.asarray(x, dtype=np.int64), c
         )
@@ -442,7 +458,7 @@ class MonteCarloEngine:
                     nb = min(max_fused, n_batches - b)
                     chunk = self._batch_fn_multi_offset(nb)(
                         kp, jnp.float32(p), jnp.int32(trials), jnp.int32(b),
-                        jnp.uint32(0),
+                        jnp.uint32(0), a32,
                     )
                     total = total + to_host(chunk)
                     b += nb
@@ -456,7 +472,8 @@ class MonteCarloEngine:
                 kb = jax.random.fold_in(kp, b)
                 outs.append(
                     self._batch_fn(
-                        kb, jnp.float32(p), jnp.int32(n_valid), jnp.uint32(0)
+                        kb, jnp.float32(p), jnp.int32(n_valid), jnp.uint32(0),
+                        a32,
                     )
                 )
             jax.block_until_ready(outs)
@@ -472,7 +489,7 @@ class MonteCarloEngine:
             n_valid = min(B, trials - done)
             kb = jax.random.fold_in(jax.random.fold_in(key, hash(p) % (2**31)), b)
             counters = self._batch_fn(
-                kb, jnp.float32(p), jnp.int32(n_valid), jnp.uint32(0)
+                kb, jnp.float32(p), jnp.int32(n_valid), jnp.uint32(0), a32
             )
             total = total + to_host(counters)
             if on_batch is not None:

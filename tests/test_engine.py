@@ -245,3 +245,32 @@ class TestRescue:
                          rescue_iters=10),
         )
         assert eng._bp_short is None
+
+
+class TestTracedAlpha:
+    def test_traced_alpha_matches_baked_alpha(self):
+        """run_rate(alpha=a) with a traced scalar produces identical counters
+        to an engine whose BPConfig bakes the same alpha."""
+        code = get_code("[[72, 12, 6]]")
+        base = dict(osd=OSDConfig(order=0), batch_size=256)
+        baked = MonteCarloEngine(
+            code,
+            EngineConfig(bp=BPConfig(max_iter=30, method="min-sum", alpha=0.8),
+                         **base),
+        ).run_rate(0.05, trials=512, seed=4)
+        traced = MonteCarloEngine(
+            code,
+            EngineConfig(bp=BPConfig(max_iter=30, method="min-sum", alpha=1.0),
+                         **base),
+        ).run_rate(0.05, trials=512, seed=4, alpha=0.8)
+        for a, b in zip(baked, traced):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_pallas_backend_rejects_traced_alpha(self):
+        eng = MonteCarloEngine(
+            get_code("steane"),
+            EngineConfig(bp=BPConfig(max_iter=10, backend="pallas",
+                                     batch_tile=128), batch_size=128),
+        )
+        with pytest.raises(ValueError):
+            eng.run_rate(0.02, trials=128, seed=0, alpha=0.8)
