@@ -52,7 +52,9 @@ def _measure(backend: str, batch: int, reps: int, force_cpu: bool = False) -> fl
     p = 0.01
 
     if backend == "pallas":
-        dec = BPDecoder(H, BPConfig(max_iter=50, backend="pallas", batch_tile=256))
+        # bt=128 is the measured-best tile at p=0.01 (results/autotune_tile.json:
+        # small tiles let the whole-tile early exit fire sooner at low p)
+        dec = BPDecoder(H, BPConfig(max_iter=50, backend="pallas", batch_tile=128))
     else:
         dec = BPDecoder(H, BPConfig(max_iter=50, chunk_size=10))
     prior = jnp.full((code.n,), float(np.log((1 - p) / p)), jnp.float32)

@@ -55,16 +55,21 @@ class BPConfig:
     max_iter: int = 50
     method: str = "sum-product"  # "sum-product" | "min-sum"
     alpha: float = 1.0  # normalization of check messages (min-sum: typ. 0.6-0.9)
+    offset: float = 0.0  # offset min-sum: |R| -> max(|R| - offset, 0)
     damping: float = 1.0  # 1.0 = no damping; Q = d*Q_new + (1-d)*Q_old
     clip_llr: float | None = None  # symmetric clip of Q messages, None = off
     chunk_size: int = 0  # >0: early-exit between chunks of this many iters
     dtype: str = "float32"
     backend: str = "xla"  # "xla" | "pallas" (fused VMEM-resident TPU kernel)
-    batch_tile: int = 256  # pallas: batch lanes per grid step
+    batch_tile: int = 0  # pallas: batch lanes per grid step; 0 = auto
+    # (256, or ops.bp_pallas.recommended_batch_tile(p) where the caller
+    # knows the target error rate — see experiments/runners.py)
 
     def __post_init__(self):
         if self.method not in ("sum-product", "min-sum"):
             raise ValueError(f"unknown BP method {self.method!r}")
+        if self.offset and self.method != "min-sum":
+            raise ValueError("offset applies to the min-sum method only")
         if self.chunk_size and self.max_iter % self.chunk_size:
             raise ValueError("max_iter must be a multiple of chunk_size")
         if self.backend not in ("xla", "pallas"):
@@ -181,6 +186,8 @@ class BPDecoder:
                 jnp.repeat(min2, dc, axis=-1),
                 jnp.repeat(min1, dc, axis=-1),
             )
+            if cfg.offset:
+                mags = jnp.maximum(mags - cfg.offset, 0.0)
             R = ssign * r_signs * mags
         if alpha is not None:
             R = R * alpha.astype(self._dtype)
@@ -302,9 +309,10 @@ class BPDecoder:
             max_iter=cfg.max_iter,
             method=cfg.method,
             alpha=cfg.alpha,
+            offset=cfg.offset,
             damping=cfg.damping,
             clip_llr=cfg.clip_llr,
-            batch_tile=cfg.batch_tile,
+            batch_tile=cfg.batch_tile or 256,
             interpret=jax.default_backend() == "cpu",
         )
 

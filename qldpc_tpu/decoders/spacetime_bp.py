@@ -74,7 +74,8 @@ class SpaceTimeBPDecoder:
         # decoder state + transients per lane, in floats (see kernel):
         state_rows = (3 * (dc + 2) + 2) * T * m + T * n
         bt = 128
-        while bt * 2 <= cfg.batch_tile and state_rows * bt * 2 * 4 <= 12e6:
+        bt_cap = cfg.batch_tile or 256
+        while bt * 2 <= bt_cap and state_rows * bt * 2 * 4 <= 12e6:
             bt *= 2
         if state_rows * bt * 4 > 13e6:
             import warnings
@@ -94,6 +95,7 @@ class SpaceTimeBPDecoder:
             max_iter=cfg.max_iter,
             method=cfg.method,
             alpha=cfg.alpha,
+            offset=cfg.offset,
             damping=cfg.damping,
             clip_llr=cfg.clip_llr,
             batch_tile=bt,
@@ -161,6 +163,8 @@ class SpaceTimeBPDecoder:
                     jnp.repeat(min2, dc + 2, axis=-1),
                     jnp.repeat(min1, dc + 2, axis=-1),
                 )
+                if cfg.offset:
+                    mags = jnp.maximum(mags - cfg.offset, 0.0)
                 R = ssign_full * r_signs * mags
             if alpha is not None:
                 R = R * alpha.astype(R.dtype)

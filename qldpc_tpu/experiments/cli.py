@@ -39,6 +39,16 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--out", help="output directory")
     r.add_argument("--no-checkpoint", action="store_true")
     r.add_argument("--quiet", action="store_true")
+    r.add_argument(
+        "--set",
+        action="append",
+        default=[],
+        metavar="FIELD=VALUE",
+        dest="overrides",
+        help="override any ExperimentSpec field (repeatable; value parsed "
+        "as JSON, bare words as strings) — e.g. --set bp_method=min-sum "
+        "--set offset=0.3",
+    )
     return p
 
 
@@ -83,6 +93,24 @@ def main(argv=None) -> int:
         overrides["osd_order"] = None
     if args.out:
         overrides["output_dir"] = args.out
+    if args.overrides:
+        import dataclasses
+        import json as _json
+
+        known = {f.name for f in dataclasses.fields(ExperimentSpec)}
+        for item in args.overrides:
+            key, sep, raw = item.partition("=")
+            if not sep or key not in known:
+                print(
+                    f"error: --set {item!r}: expected FIELD=VALUE with FIELD "
+                    f"one of {sorted(known)}",
+                    file=sys.stderr,
+                )
+                return 2
+            try:
+                overrides[key] = _json.loads(raw)
+            except _json.JSONDecodeError:
+                overrides[key] = raw  # bare string (e.g. min-sum)
     spec = spec.replace(**overrides)
 
     run_experiment(spec, verbose=not args.quiet, checkpoint=not args.no_checkpoint)

@@ -48,9 +48,11 @@ class ExperimentSpec:
     bp_max_iter: int = 50
     bp_chunk_size: int = 0
     bp_backend: str = "xla"  # "xla" | "pallas"
+    bp_batch_tile: int = 0  # pallas tile; 0 = auto from the rate grid
     osd_backend: str = "auto"  # "auto" | "lanes" | "vmap" | "pallas"
     osd_fraction: float = 1.0
     alpha: float = 1.0
+    offset: float = 0.0  # offset min-sum (min-sum method only)
     damping: float = 1.0
     clip_llr: float | None = None
     estimate_alpha: bool = False  # Alvarado per-(code, p) alpha

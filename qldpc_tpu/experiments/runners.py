@@ -28,15 +28,24 @@ from .configs import ExperimentSpec
 __all__ = ["run_experiment", "build_engine"]
 
 
-def _bp_config(spec: ExperimentSpec, max_iter=None, alpha=None) -> BPConfig:
+def _bp_config(
+    spec: ExperimentSpec, max_iter=None, alpha=None, rate_hint=None
+) -> BPConfig:
+    batch_tile = spec.bp_batch_tile
+    if not batch_tile and spec.bp_backend == "pallas" and rate_hint:
+        from qldpc_tpu.ops.bp_pallas import recommended_batch_tile
+
+        batch_tile = recommended_batch_tile(rate_hint)
     return BPConfig(
         max_iter=max_iter if max_iter is not None else spec.bp_max_iter,
         method=spec.bp_method,
         alpha=alpha if alpha is not None else spec.alpha,
+        offset=spec.offset,
         damping=spec.damping,
         clip_llr=spec.clip_llr,
         chunk_size=spec.bp_chunk_size,
         backend=spec.bp_backend,
+        batch_tile=batch_tile,
     )
 
 
@@ -56,6 +65,10 @@ def build_engine(
     osd_order=None,
 ) -> MonteCarloEngine:
     code = get_code(code_name)
+    # auto batch-tile: one engine serves the code's whole rate grid (traced
+    # p), so the tile is picked once from the grid's geometric-mean rate
+    rates = spec.rates_for(code_name)
+    rate_hint = float(np.exp(np.mean(np.log(rates)))) if rates else None
     if spec.channel == "circuit-level":
         # studyComplete.py:72-109 in-repo: a parametric memory-experiment
         # DEM (Z basis, rounds=distance like the reference) decoded by
@@ -70,7 +83,7 @@ def build_engine(
         return DEMEngine(
             pdem,
             DEMEngineConfig(
-                bp=_bp_config(spec, max_iter=max_iter, alpha=alpha),
+                bp=_bp_config(spec, max_iter=max_iter, alpha=alpha, rate_hint=rate_hint),
                 osd=_osd_config(spec, order=osd_order),
                 batch_size=spec.batch_size,
                 osd_fraction=spec.osd_fraction,
@@ -81,7 +94,7 @@ def build_engine(
     return MonteCarloEngine(
         code,
         EngineConfig(
-            bp=_bp_config(spec, max_iter=max_iter, alpha=alpha),
+            bp=_bp_config(spec, max_iter=max_iter, alpha=alpha, rate_hint=rate_hint),
             osd=_osd_config(spec, order=osd_order),
             channel=spec.channel,
             n_rounds=spec.n_rounds,

@@ -37,7 +37,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 from qldpc_tpu.ops.tanner import TannerGraph
 
-__all__ = ["PallasBPKernel"]
+__all__ = ["PallasBPKernel", "recommended_batch_tile"]
+
+
+def recommended_batch_tile(p: float | None = None) -> int:
+    """Measured-best batch tile for the fused kernel at error rate ``p``.
+
+    From the TPU v5e sweep in scripts/autotune_tile.py
+    (results/autotune_tile.json, 262k batch, BP(50), one process): at low p
+    the whole-tile early exit fires sooner with fewer lanes per tile
+    (bt=128 beats 1024 by 2.1x at p=0.01), while at high p almost nothing
+    converges early and wide tiles amortize grid overhead (bt=1024 beats
+    128 by 1.5-1.7x at p >= 0.03). ``None`` returns the balanced default.
+    """
+    if p is None:
+        return 256
+    if p < 0.02:
+        return 128
+    if p < 0.03:
+        return 256
+    return 1024
 
 _TANH_CLIP = 0.9999999
 _BIG = 1e9  # phantom-slot message: tanh(BIG/2) == 1 (neutral), |.| == huge
@@ -98,6 +117,7 @@ def _bp_kernel(
     max_iter: int,
     method: str,
     alpha: float,
+    offset: float,
     damping: float,
     clip_llr: float | None,
 ):
@@ -153,6 +173,8 @@ def _bp_kernel(
                             continue
                         osign = sg[j] if osign is None else osign * sg[j]
                     mags = jnp.where(amin == float(i), min2, min1)
+                    if offset:
+                        mags = jnp.maximum(mags - offset, 0.0)
                     r_planes.append(ssign * osign * mags)
 
             if alpha != 1.0:
@@ -214,6 +236,7 @@ class PallasBPKernel:
         max_iter: int,
         method: str = "sum-product",
         alpha: float = 1.0,
+        offset: float = 0.0,
         damping: float = 1.0,
         clip_llr: float | None = None,
         batch_tile: int = 256,
@@ -235,6 +258,7 @@ class PallasBPKernel:
             max_iter=max_iter,
             method=method,
             alpha=alpha,
+            offset=offset,
             damping=damping,
             clip_llr=clip_llr,
         )

@@ -67,6 +67,7 @@ def _st_bp_kernel(
     max_iter: int,
     method: str,
     alpha: float,
+    offset: float,
     damping: float,
     clip_llr: float | None,
 ):
@@ -151,11 +152,15 @@ def _st_bp_kernel(
                     masked = jnp.where(amin == float(i), jnp.inf, aq[i])
                     min2 = masked if min2 is None else jnp.minimum(min2, masked)
                 osign = leave_one_out(sg)
+
+                def _mag(i):
+                    mags = jnp.where(amin == float(i), min2, min1)
+                    if offset:
+                        mags = jnp.maximum(mags - offset, 0.0)
+                    return mags
+
                 r_slots = [
-                    ssign
-                    * osign[i]
-                    * jnp.where(amin == float(i), min2, min1)
-                    for i in range(dc + 2)
+                    ssign * osign[i] * _mag(i) for i in range(dc + 2)
                 ]
             if alpha != 1.0:
                 r_slots = [r * alpha for r in r_slots]
@@ -280,6 +285,7 @@ class PallasSpaceTimeBPKernel:
         max_iter: int,
         method: str = "sum-product",
         alpha: float = 1.0,
+        offset: float = 0.0,
         damping: float = 1.0,
         clip_llr: float | None = None,
         batch_tile: int = 128,
@@ -303,6 +309,7 @@ class PallasSpaceTimeBPKernel:
             max_iter=max_iter,
             method=method,
             alpha=alpha,
+            offset=offset,
             damping=damping,
             clip_llr=clip_llr,
         )

@@ -63,6 +63,7 @@ def bp_min_sum(
     prior,
     max_iter=50,
     alpha=1.0,
+    offset=0.0,
     damping=1.0,
     clip_llr=None,
 ):
@@ -89,6 +90,8 @@ def bp_min_sum(
         tmp[np.arange(m), i1] = np.inf
         min2 = tmp.min(axis=1)
         mags = np.where(aq == min1[:, None], min2[:, None], min1[:, None])
+        if offset:
+            mags = np.maximum(mags - offset, 0.0)
         R = np.where(mask, alpha * ssign * r_signs * mags, 0.0)
         values = R.sum(axis=0) + prior
         Qn = np.where(mask, values - R, 0.0)

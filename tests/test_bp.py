@@ -63,6 +63,31 @@ class TestBPAgainstOracle:
             assert bool(res.converged[i]) == conv
             np.testing.assert_allclose(np.asarray(res.llrs[i]), llrs, rtol=1e-6, atol=1e-6)
 
+    def test_offset_min_sum_matches_oracle(self, rng):
+        """Offset min-sum (|R| -> max(|R|-beta, 0)): beyond-reference zoo
+        member, oracle-pinned like the other variants."""
+        code = get_code("[[72, 12, 6]]")
+        H = code.Hx
+        prior = uniform_prior(code.n, 0.05)
+        _, syndromes = sample_batch(rng, H, 0.05, batch=48)
+        kwargs = dict(offset=0.4, damping=0.8)
+        dec = BPDecoder(
+            H, BPConfig(max_iter=20, method="min-sum", dtype="float64", **kwargs)
+        )
+        res = dec(syndromes, prior)
+        for i in range(len(syndromes)):
+            hard, conv, llrs, _ = oracles.bp_min_sum(
+                H, syndromes[i], prior, max_iter=20, **kwargs
+            )
+            assert bool(res.converged[i]) == conv
+            np.testing.assert_allclose(
+                np.asarray(res.llrs[i]), llrs, rtol=1e-6, atol=1e-6
+            )
+
+    def test_offset_requires_min_sum(self):
+        with pytest.raises(ValueError):
+            BPConfig(method="sum-product", offset=0.3)
+
 
 class TestBPBehavior:
     def test_steane_known_answer(self):

@@ -41,6 +41,19 @@ def test_pallas_damped_clipped(rng):
     assert np.array_equal(np.asarray(xla.hard), np.asarray(pal.hard))
 
 
+def test_pallas_offset_min_sum(rng):
+    code = get_code("steane")
+    H = code.Hx
+    syn = sample(rng, H, 0.08, batch=128)
+    prior = np.full(7, np.log(0.92 / 0.08), np.float32)
+    kw = dict(max_iter=16, method="min-sum", offset=0.4, damping=0.8)
+    xla = BPDecoder(H, BPConfig(**kw))(syn, prior)
+    pal = BPDecoder(H, BPConfig(backend="pallas", batch_tile=128, **kw))(syn, prior)
+    assert np.array_equal(np.asarray(xla.converged), np.asarray(pal.converged))
+    assert np.array_equal(np.asarray(xla.iterations), np.asarray(pal.iterations))
+    assert np.array_equal(np.asarray(xla.hard), np.asarray(pal.hard))
+
+
 def test_pallas_irregular_check_degrees(rng):
     """Space-time matrices have mixed check degrees (7 and 8): exercises the
     phantom-slot masking in the kernel tables."""

@@ -81,6 +81,18 @@ def test_damped_clipped_matches_generic():
     assert np.array_equal(np.asarray(generic.hard), np.asarray(structured.hard))
 
 
+def test_offset_minsum_matches_generic():
+    H, _, det, priors = make_case("steane", 3, 0.03, batch=48)
+    kw = dict(max_iter=15, method="min-sum", offset=0.3)
+    Hst = space_time_matrix(H, 3)
+    generic = BPDecoder(Hst, BPConfig(**kw))(det, priors)
+    structured = SpaceTimeBPDecoder(H, 3, BPConfig(**kw))(det, priors)
+    assert np.array_equal(
+        np.asarray(generic.converged), np.asarray(structured.converged)
+    )
+    assert np.array_equal(np.asarray(generic.hard), np.asarray(structured.hard))
+
+
 def test_minsum_matches_generic():
     H, errors, det, priors = make_case("steane", 3, 0.02, batch=32, seed=21)
     Hst = space_time_matrix(H, 3)

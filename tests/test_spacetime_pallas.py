@@ -41,7 +41,8 @@ def assert_parity(H, T, det, priors, cfg_kw, bt=32):
     kern = PallasSpaceTimeBPKernel(
         pal_dec.base, T, max_iter=cfg_kw.get("max_iter", 50),
         method=cfg_kw.get("method", "sum-product"),
-        alpha=cfg_kw.get("alpha", 1.0), damping=cfg_kw.get("damping", 1.0),
+        alpha=cfg_kw.get("alpha", 1.0), offset=cfg_kw.get("offset", 0.0),
+        damping=cfg_kw.get("damping", 1.0),
         clip_llr=cfg_kw.get("clip_llr"), batch_tile=bt, interpret=True,
     )
     values, conv, iters = kern(det, priors)
@@ -66,6 +67,13 @@ def test_min_sum_parity():
     assert_parity(
         H, 3, det, priors,
         dict(max_iter=15, method="min-sum", alpha=0.8, damping=0.7, clip_llr=25.0),
+    )
+
+
+def test_offset_min_sum_parity():
+    H, det, priors = make_case("steane", 3, 0.03, batch=48)
+    assert_parity(
+        H, 3, det, priors, dict(max_iter=15, method="min-sum", offset=0.3)
     )
 
 
