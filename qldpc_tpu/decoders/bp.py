@@ -59,6 +59,8 @@ class BPConfig:
     damping: float = 1.0  # 1.0 = no damping; Q = d*Q_new + (1-d)*Q_old
     clip_llr: float | None = None  # symmetric clip of Q messages, None = off
     chunk_size: int = 0  # >0: early-exit between chunks of this many iters
+    schedule: str = "flooding"  # "flooding" | "layered" (check-serial)
+    n_layers: int = 0  # layered: check groups per iteration; 0 = auto
     dtype: str = "float32"
     backend: str = "xla"  # "xla" | "pallas" (fused VMEM-resident TPU kernel)
     batch_tile: int = 0  # pallas: batch lanes per grid step; 0 = auto
@@ -70,6 +72,11 @@ class BPConfig:
             raise ValueError(f"unknown BP method {self.method!r}")
         if self.offset and self.method != "min-sum":
             raise ValueError("offset applies to the min-sum method only")
+        if self.schedule not in ("flooding", "layered"):
+            raise ValueError(f"unknown schedule {self.schedule!r}")
+        if self.schedule == "layered" and self.damping != 1.0:
+            raise ValueError("damping is not supported with the layered "
+                             "schedule (messages are recomputed per layer)")
         if self.chunk_size and self.max_iter % self.chunk_size:
             raise ValueError("max_iter must be a multiple of chunk_size")
         if self.backend not in ("xla", "pallas"):
@@ -104,7 +111,10 @@ class BPDecoder:
         self._var_of_edge = jnp.asarray(g.var_of_edge)
         self._check_edge = jnp.asarray(g.check_edge)
         self._check_slot_of_edge = jnp.asarray(g.check_slot_of_edge)
-        if config.backend == "pallas":
+        if config.schedule == "layered":
+            # check-serial scheduling: no fused kernel yet — XLA path only
+            self.decode_fn = self._build_layered()
+        elif config.backend == "pallas":
             self.decode_fn = self._build_pallas()
         else:
             self.decode_fn = self._build()  # unjitted (for graft/compile checks)
@@ -281,6 +291,150 @@ class BPDecoder:
                 converged=carry.converged,
                 llrs=carry.values,
                 iterations=iters,
+            )
+
+        return decode
+
+    # ---- layered (check-serial) schedule ------------------------------------
+    def _group_check_update(self, qg: jax.Array, ssign_g: jax.Array, alpha):
+        """Check rule on an all-real (B, ml, dc) group (no phantom slots).
+
+        Same math as ``_check_messages`` — tanh leave-one-out product or
+        normalized/offset min-sum — applied to one layer's checks. The
+        layered schedule only runs on check-regular graphs, so every slot
+        is a real edge and the phantom handling of the flooding path is
+        unnecessary here.
+        """
+        cfg = self.config
+        dc = qg.shape[-1]
+        if cfg.method == "sum-product":
+            t = jnp.tanh(qg * 0.5)
+            others = self._others_product(t)
+            clipped = jnp.clip(others * ssign_g, -_TANH_CLIP, _TANH_CLIP)
+            R = 2.0 * jnp.arctanh(clipped)
+        else:
+            sgn = jnp.where(qg >= 0, 1.0, -1.0).astype(self._dtype)
+            r_signs = self._others_product(sgn)
+            aq = jnp.abs(qg)
+            min1 = jnp.min(aq, axis=-1, keepdims=True)
+            first_min = jax.nn.one_hot(
+                jnp.argmin(aq, axis=-1), dc, dtype=bool
+            )
+            min2 = jnp.min(jnp.where(first_min, jnp.inf, aq), axis=-1, keepdims=True)
+            mags = jnp.where(
+                aq == jnp.repeat(min1, dc, axis=-1),
+                jnp.repeat(min2, dc, axis=-1),
+                jnp.repeat(min1, dc, axis=-1),
+            )
+            if cfg.offset:
+                mags = jnp.maximum(mags - cfg.offset, 0.0)
+            R = ssign_g * r_signs * mags
+        if alpha is not None:
+            R = R * alpha.astype(self._dtype)
+        elif cfg.alpha != 1.0:
+            R = R * jnp.asarray(cfg.alpha, self._dtype)
+        return R
+
+    def _build_layered(self):
+        """Check-serial ("layered") BP: checks are processed in ``n_layers``
+        static groups per iteration, each layer consuming posteriors already
+        refreshed by the previous layers. Standard LDPC result: converges in
+        roughly half the iterations of the flooding schedule at the same
+        fixed point — a decoder-zoo extension beyond the reference, which
+        only implements flooding (decoding/beliefPropagation.py:104-133).
+
+        Per layer: Q_l = values[v(e)] - R_e (fresh posteriors), check rule
+        on the (B, ml, dc) group, then values += sum_v(R_new - R_old). All
+        layer slices are static, so this is one fixed-trip-count scan like
+        the flooding path, with the same freeze/early-exit machinery.
+        """
+        cfg, g = self.config, self.graph
+        if not g.check_regular:
+            raise ValueError(
+                "the layered schedule requires a check-regular graph "
+                "(every check with the same degree)"
+            )
+        L = cfg.n_layers
+        if L == 0:  # auto: the largest of 4, 3, 2 dividing m
+            L = next((k for k in (4, 3, 2) if g.m % k == 0), 1)
+        if g.m % L:
+            raise ValueError(f"n_layers={L} must divide m={g.m}")
+        ml = g.m // L
+        dc = g.dc_max
+        var_l = [self._var_of_edge[l * ml * dc:(l + 1) * ml * dc] for l in range(L)]
+
+        def decode(syndromes: jax.Array, priors: jax.Array, alpha=None) -> BPResult:
+            B = syndromes.shape[0]
+            syndromes = syndromes.astype(jnp.int32)
+            priors = jnp.broadcast_to(jnp.asarray(priors, self._dtype), (B, g.n))
+            syndrome_sign = (1 - 2 * syndromes).astype(self._dtype)
+            ssign_l = [
+                jnp.repeat(
+                    syndrome_sign[:, l * ml:(l + 1) * ml, None], dc, axis=-1
+                )
+                for l in range(L)
+            ]
+
+            def step(carry, _):
+                R, values, hard0, converged, iters, stepc = carry
+                v = values
+                Rn = R
+                for l in range(L):
+                    sl_lo = l * ml * dc
+                    R_l = jax.lax.slice_in_dim(Rn, sl_lo, sl_lo + ml * dc, axis=1)
+                    Q_l = v[:, var_l[l]] - R_l
+                    if cfg.clip_llr is not None:
+                        Q_l = jnp.clip(Q_l, -cfg.clip_llr, cfg.clip_llr)
+                    Rg = self._group_check_update(
+                        Q_l.reshape(B, ml, dc), ssign_l[l], alpha
+                    )
+                    R_l_new = Rg.reshape(B, ml * dc)
+                    v = v.at[:, var_l[l]].add(R_l_new - R_l)
+                    Rn = jax.lax.dynamic_update_slice_in_dim(
+                        Rn, R_l_new, sl_lo, axis=1
+                    )
+                hard = (v < 0).astype(jnp.int8)
+                hg = self._gather_check(
+                    hard[:, self._var_of_edge].astype(jnp.int32),
+                    phantom=jnp.asarray(0),
+                )
+                s_hat = jnp.sum(hg, axis=-1) % 2
+                now_ok = jnp.all(s_hat == syndromes, axis=-1)
+                keep = converged
+                keep_e = keep[:, None]
+                return (
+                    jnp.where(keep_e, R, Rn),
+                    jnp.where(keep_e, values, v),
+                    jnp.where(keep_e, hard0, hard),
+                    keep | now_ok,
+                    jnp.where(keep, iters, stepc),
+                    stepc + 1,
+                ), None
+
+            carry = (
+                jnp.zeros((B, g.num_edges), self._dtype),
+                priors,
+                jnp.zeros((B, g.n), jnp.int8),
+                jnp.zeros((B,), bool),
+                jnp.full((B,), max(cfg.max_iter - 1, 0), jnp.int32),
+                jnp.zeros((), jnp.int32),
+            )
+            if cfg.chunk_size:
+                def cond(c):
+                    return (c[5] < cfg.max_iter) & ~jnp.all(c[3])
+
+                def body(c):
+                    c, _ = jax.lax.scan(step, c, None, length=cfg.chunk_size)
+                    return c
+
+                carry = jax.lax.while_loop(cond, body, carry)
+            else:
+                carry, _ = jax.lax.scan(step, carry, None, length=cfg.max_iter)
+
+            _, values, hard, converged, iters, _ = carry
+            iters = jnp.where(converged, iters, max(cfg.max_iter - 1, 0))
+            return BPResult(
+                hard=hard, converged=converged, llrs=values, iterations=iters
             )
 
         return decode

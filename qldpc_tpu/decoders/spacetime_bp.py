@@ -46,6 +46,11 @@ class SpaceTimeBPDecoder:
     """
 
     def __init__(self, H_base: np.ndarray, n_rounds: int, config: BPConfig = BPConfig()):
+        if config.schedule != "flooding":
+            raise NotImplementedError(
+                "the structured space-time decoder supports the flooding "
+                "schedule only"
+            )
         self.config = config
         self.T = n_rounds
         g = TannerGraph.from_H(H_base)

@@ -47,6 +47,8 @@ class ExperimentSpec:
     bp_method: str = "sum-product"
     bp_max_iter: int = 50
     bp_chunk_size: int = 0
+    bp_schedule: str = "flooding"  # "flooding" | "layered" (check-serial)
+    bp_layers: int = 0  # layered: check groups per iteration; 0 = auto
     bp_backend: str = "xla"  # "xla" | "pallas"
     bp_batch_tile: int = 0  # pallas tile; 0 = auto from the rate grid
     osd_backend: str = "auto"  # "auto" | "lanes" | "vmap" | "pallas"

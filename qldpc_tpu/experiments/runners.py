@@ -44,6 +44,8 @@ def _bp_config(
         damping=spec.damping,
         clip_llr=spec.clip_llr,
         chunk_size=spec.bp_chunk_size,
+        schedule=spec.bp_schedule,
+        n_layers=spec.bp_layers,
         backend=spec.bp_backend,
         batch_tile=batch_tile,
     )

@@ -105,6 +105,71 @@ def bp_min_sum(
     return hard, False, values, max_iter - 1
 
 
+def bp_layered(
+    H,
+    syndrome,
+    prior,
+    max_iter=50,
+    n_layers=2,
+    method="sum-product",
+    alpha=1.0,
+    offset=0.0,
+    clip_llr=None,
+):
+    """Dense check-serial (layered) BP: checks in ``n_layers`` contiguous
+    blocks per iteration, each consuming posteriors refreshed by the
+    previous blocks. Returns (hard, converged, llrs, n_iter)."""
+    H = np.asarray(H, dtype=np.float64)
+    m, n = H.shape
+    assert m % n_layers == 0
+    ml = m // n_layers
+    mask = H != 0
+    ssign = (1 - 2 * np.asarray(syndrome, dtype=np.float64)).reshape(-1, 1)
+    prior = np.broadcast_to(np.asarray(prior, dtype=np.float64), (n,))
+
+    R = np.zeros((m, n))
+    values = prior.copy()
+    hard = np.zeros(n, dtype=np.int8)
+    for it in range(max_iter):
+        for l in range(n_layers):
+            rows = slice(l * ml, (l + 1) * ml)
+            msk = mask[rows]
+            Q = np.where(msk, values[None, :] - R[rows], 0.0)
+            if clip_llr is not None:
+                Q = np.clip(Q, -clip_llr, clip_llr)
+            if method == "sum-product":
+                t = np.where(msk, np.tanh(Q * 0.5), 1.0)
+                row_prod = np.prod(t, axis=1, keepdims=True)
+                t_safe = np.where(np.abs(t) < 1e-15, 1e-15, t)
+                others = row_prod / t_safe
+                Rn = np.where(
+                    msk,
+                    2.0 * np.arctanh(np.clip(others * ssign[rows], -CLIP, CLIP)),
+                    0.0,
+                )
+            else:
+                s = np.where(msk, np.where(Q >= 0, 1.0, -1.0), 1.0)
+                row_sign = np.prod(s, axis=1, keepdims=True)
+                r_signs = row_sign * s
+                aq = np.where(msk, np.abs(Q), np.inf)
+                i1 = np.argmin(aq, axis=1)
+                min1 = aq[np.arange(ml), i1]
+                tmp = aq.copy()
+                tmp[np.arange(ml), i1] = np.inf
+                min2 = tmp.min(axis=1)
+                mags = np.where(aq == min1[:, None], min2[:, None], min1[:, None])
+                if offset:
+                    mags = np.maximum(mags - offset, 0.0)
+                Rn = np.where(msk, ssign[rows] * r_signs * mags, 0.0)
+            Rn = Rn * alpha
+            values = values + (Rn - R[rows]).sum(axis=0)
+            R[rows] = Rn
+        hard = (values < 0).astype(np.int8)
+        if np.array_equal(H.astype(int) @ hard % 2, syndrome):
+            return hard, True, values, it
+    return hard, False, values, max_iter - 1
+
+
 def gf2_rref_solve(H, s):
     """RREF of [H | s] over GF(2). Returns (A, b, pivot_rows, pivot_cols)."""
     A = (np.asarray(H) % 2).astype(np.uint8).copy()

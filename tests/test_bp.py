@@ -89,6 +89,95 @@ class TestBPAgainstOracle:
             BPConfig(method="sum-product", offset=0.3)
 
 
+class TestLayeredSchedule:
+    @pytest.mark.parametrize("code_name", ["steane", "[[72, 12, 6]]"])
+    @pytest.mark.parametrize("method", ["sum-product", "min-sum"])
+    def test_matches_dense_oracle(self, rng, code_name, method):
+        code = get_code(code_name)
+        H = code.Hx
+        p = 0.05
+        prior = uniform_prior(code.n, p)
+        _, syndromes = sample_batch(rng, H, p, batch=48)
+        L = 3 if code_name == "steane" else 4
+        dec = BPDecoder(
+            H,
+            BPConfig(
+                max_iter=20, method=method, schedule="layered", n_layers=L,
+                dtype="float64",
+            ),
+        )
+        res = dec(syndromes, prior)
+        for i in range(len(syndromes)):
+            hard, conv, llrs, iters = oracles.bp_layered(
+                H, syndromes[i], prior, max_iter=20, n_layers=L, method=method
+            )
+            assert bool(res.converged[i]) == conv, f"sample {i}"
+            if conv:
+                assert np.array_equal(np.asarray(res.hard[i]), hard)
+                assert int(res.iterations[i]) == iters
+            np.testing.assert_allclose(
+                np.asarray(res.llrs[i]), llrs, rtol=1e-6, atol=1e-6
+            )
+
+    def test_layered_offset_clip_matches_oracle(self, rng):
+        code = get_code("[[72, 12, 6]]")
+        H = code.Hx
+        prior = uniform_prior(code.n, 0.05)
+        _, syndromes = sample_batch(rng, H, 0.05, batch=32)
+        kw = dict(method="min-sum", alpha=0.8, offset=0.2, clip_llr=25.0)
+        dec = BPDecoder(
+            H,
+            BPConfig(
+                max_iter=15, schedule="layered", n_layers=2, dtype="float64", **kw
+            ),
+        )
+        res = dec(syndromes, prior)
+        for i in range(len(syndromes)):
+            _, conv, llrs, _ = oracles.bp_layered(
+                H, syndromes[i], prior, max_iter=15, n_layers=2, **kw
+            )
+            assert bool(res.converged[i]) == conv
+            np.testing.assert_allclose(
+                np.asarray(res.llrs[i]), llrs, rtol=1e-6, atol=1e-6
+            )
+
+    def test_converges_in_fewer_iterations_than_flooding(self, rng):
+        """The point of the serial schedule: ~2x fewer iterations at the
+        same fixed point (standard LDPC scheduling result)."""
+        code = get_code("[[144, 12, 12]]")
+        H = code.Hx
+        p = 0.03
+        prior = uniform_prior(code.n, p)
+        _, syndromes = sample_batch(rng, H, p, batch=256)
+        flood = BPDecoder(H, BPConfig(max_iter=50))(syndromes, prior)
+        layer = BPDecoder(H, BPConfig(max_iter=50, schedule="layered"))(
+            syndromes, prior
+        )
+        assert np.asarray(layer.converged).sum() >= np.asarray(flood.converged).sum()
+        both = np.asarray(layer.converged) & np.asarray(flood.converged)
+        mean_l = np.asarray(layer.iterations)[both].mean()
+        mean_f = np.asarray(flood.iterations)[both].mean()
+        assert mean_l <= 0.75 * mean_f, (mean_l, mean_f)
+
+    def test_chunked_early_exit_parity(self, rng):
+        code = get_code("[[90, 8, 10]]")
+        H = code.Hx
+        prior = uniform_prior(code.n, 0.03)
+        _, syndromes = sample_batch(rng, H, 0.03, batch=64)
+        kw = dict(max_iter=24, schedule="layered", n_layers=3)
+        full = BPDecoder(H, BPConfig(**kw))(syndromes, prior)
+        chunked = BPDecoder(H, BPConfig(chunk_size=6, **kw))(syndromes, prior)
+        assert np.array_equal(np.asarray(full.converged), np.asarray(chunked.converged))
+        assert np.array_equal(np.asarray(full.hard), np.asarray(chunked.hard))
+        assert np.array_equal(
+            np.asarray(full.iterations), np.asarray(chunked.iterations)
+        )
+
+    def test_layered_rejects_damping(self):
+        with pytest.raises(ValueError):
+            BPConfig(schedule="layered", damping=0.7)
+
+
 class TestBPBehavior:
     def test_steane_known_answer(self):
         """Single-bit errors on Steane: BP converges and every decode
