@@ -112,8 +112,10 @@ class BPDecoder:
         self._check_edge = jnp.asarray(g.check_edge)
         self._check_slot_of_edge = jnp.asarray(g.check_slot_of_edge)
         if config.schedule == "layered":
-            # check-serial scheduling: no fused kernel yet — XLA path only
-            self.decode_fn = self._build_layered()
+            if config.backend == "pallas" and g.check_regular:
+                self.decode_fn = self._build_pallas()
+            else:
+                self.decode_fn = self._build_layered()
         elif config.backend == "pallas":
             self.decode_fn = self._build_pallas()
         else:
@@ -457,6 +459,8 @@ class BPDecoder:
                 "VMEM; falling back to the XLA backend for this graph",
                 stacklevel=3,
             )
+            if cfg.schedule == "layered":
+                return self._build_layered()
             return self._build()
         kernel = PallasBPKernel(
             self.graph,
@@ -467,6 +471,8 @@ class BPDecoder:
             damping=cfg.damping,
             clip_llr=cfg.clip_llr,
             batch_tile=cfg.batch_tile or 256,
+            schedule=cfg.schedule,
+            n_layers=cfg.n_layers,
             interpret=jax.default_backend() == "cpu",
         )
 

@@ -94,6 +94,165 @@ def _build_tables(g: TannerGraph) -> _Tables:
     return _Tables(M_ve=M_ve, M_ev=M_ev, H=g.H.astype(np.float32), mask=mask)
 
 
+class _LayeredTables(NamedTuple):
+    M_ve: np.ndarray  # (L, n, Epl) per-layer var-sum one-hot
+    M_ev: np.ndarray  # (L, Epl, n) per-layer edge-broadcast one-hot
+    H: np.ndarray  # (m, n)
+
+
+def _build_layered_tables(g: TannerGraph, L: int) -> _LayeredTables:
+    m, n, dc = g.m, g.n, g.dc_max
+    if not g.check_regular:
+        raise ValueError("layered kernel requires a check-regular graph")
+    if m % L:
+        raise ValueError(f"n_layers={L} must divide m={m}")
+    lm = m // L
+    Epl = dc * lm  # within-layer slot-major: idx = slot * lm + (c - c0)
+    M_ve = np.zeros((L, n, Epl), np.float32)
+    M_ev = np.zeros((L, Epl, n), np.float32)
+    for c in range(m):
+        layer, cl = divmod(c, lm)
+        for slot in range(dc):
+            v = g.var_of_edge[g.check_edge[c, slot]]
+            idx = slot * lm + cl
+            M_ve[layer, v, idx] = 1.0
+            M_ev[layer, idx, v] = 1.0
+    return _LayeredTables(M_ve=M_ve, M_ev=M_ev, H=g.H.astype(np.float32))
+
+
+def _bp_layered_kernel(
+    # inputs
+    syn_ref,  # (m, BT)
+    priors_ref,  # (n, BT)
+    mve_ref,  # (L, n, Epl)
+    mev_ref,  # (L, Epl, n)
+    h_ref,  # (m, n)
+    # outputs
+    values_ref,  # (n, BT)
+    conv_ref,  # (1, BT)
+    iters_ref,  # (1, BT)
+    # scratch
+    r_ref,  # (dc, m, BT) check->var messages (zero-init)
+    done_ref,  # (1,) int32 SMEM
+    *,
+    m: int,
+    n: int,
+    dc: int,
+    L: int,
+    bt: int,
+    max_iter: int,
+    method: str,
+    alpha: float,
+    offset: float,
+    clip_llr: float | None,
+):
+    """Check-serial schedule in VMEM: per layer, Q is recomputed from the
+    *current* posteriors (Q = M_ev_l @ values - R_l), the check rule runs on
+    dc static (lm, BT) slot planes, and posteriors absorb the message delta
+    immediately (values += M_ve_l @ (R_new - R_old)). Semantics match
+    decoders/bp.py::_build_layered exactly (tests/test_pallas.py)."""
+    lm = m // L
+    ssign = 1.0 - 2.0 * syn_ref[:]  # (m, BT)
+
+    values_ref[:] = priors_ref[:]
+    r_ref[:] = jnp.zeros((dc, m, bt), jnp.float32)
+    conv_ref[:] = jnp.zeros((1, bt), jnp.float32)
+    iters_ref[:] = jnp.full((1, bt), float(max(max_iter - 1, 0)), jnp.float32)
+    done_ref[0] = 0
+
+    def iteration(it, _):
+        @pl.when(done_ref[0] == 0)
+        def _():
+            vals = values_ref[:]
+            for layer in range(L):
+                c0 = layer * lm
+                v_edges = jnp.dot(
+                    mev_ref[layer], vals, preferred_element_type=jnp.float32
+                )  # (Epl, BT)
+                r_old = [r_ref[i, c0:c0 + lm] for i in range(dc)]
+                q = []
+                for i in range(dc):
+                    qi = v_edges[i * lm:(i + 1) * lm] - r_old[i]
+                    if clip_llr is not None:
+                        qi = jnp.clip(qi, -clip_llr, clip_llr)
+                    q.append(qi)
+                ss = ssign[c0:c0 + lm]
+
+                if method == "sum-product":
+                    t = [jnp.tanh(qi * 0.5) for qi in q]
+                    r_new = []
+                    for i in range(dc):
+                        others = None
+                        for j in range(dc):
+                            if j == i:
+                                continue
+                            others = t[j] if others is None else others * t[j]
+                        clipped = jnp.clip(others * ss, -_TANH_CLIP, _TANH_CLIP)
+                        r_new.append(2.0 * _arctanh(clipped))
+                else:  # min-sum
+                    one = jnp.float32(1.0)
+                    sg = [jnp.where(qi >= 0, one, -one) for qi in q]
+                    aq = [jnp.abs(qi) for qi in q]
+                    min1 = aq[0]
+                    amin = jnp.zeros_like(aq[0])
+                    for i in range(1, dc):
+                        better = aq[i] < min1
+                        min1 = jnp.where(better, aq[i], min1)
+                        amin = jnp.where(better, float(i), amin)
+                    min2 = None
+                    for i in range(dc):
+                        masked = jnp.where(amin == float(i), jnp.inf, aq[i])
+                        min2 = masked if min2 is None else jnp.minimum(min2, masked)
+                    r_new = []
+                    for i in range(dc):
+                        osign = None
+                        for j in range(dc):
+                            if j == i:
+                                continue
+                            osign = sg[j] if osign is None else osign * sg[j]
+                        mags = jnp.where(amin == float(i), min2, min1)
+                        if offset:
+                            mags = jnp.maximum(mags - offset, 0.0)
+                        r_new.append(ss * osign * mags)
+
+                if alpha != 1.0:
+                    r_new = [r * alpha for r in r_new]
+
+                delta = jnp.concatenate(
+                    [
+                        (r_new[i] - r_old[i]).reshape(1, lm, bt)
+                        for i in range(dc)
+                    ],
+                    axis=0,
+                ).reshape(dc * lm, bt)
+                vals = vals + jnp.dot(
+                    mve_ref[layer], delta, preferred_element_type=jnp.float32
+                )
+                for i in range(dc):
+                    r_ref[i, c0:c0 + lm] = r_new[i]
+
+            # ---- hard decision + syndrome check + freeze (as flooding) ------
+            hard = (vals < 0).astype(jnp.float32)
+            counts = jnp.dot(h_ref[:], hard, preferred_element_type=jnp.float32)
+            parity = counts - 2.0 * jnp.floor(counts * 0.5)
+            eq = (parity == syn_ref[:]).astype(jnp.float32)
+            ok = jnp.min(eq, axis=0, keepdims=True)
+
+            conv_prev = conv_ref[:]
+            not_frozen = conv_prev < 0.5
+            values_ref[:] = jnp.where(not_frozen, vals, values_ref[:])
+            iters_ref[:] = jnp.where(
+                not_frozen, it.astype(jnp.float32), iters_ref[:]
+            )
+            conv_now = jnp.maximum(conv_prev, ok)
+            conv_ref[:] = conv_now
+            done_ref[0] = jnp.min(conv_now).astype(jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, max_iter, iteration, 0)
+
+
 def _bp_kernel(
     # inputs
     syn_ref,  # (m, BT) f32 0/1 syndrome
@@ -240,28 +399,51 @@ class PallasBPKernel:
         damping: float = 1.0,
         clip_llr: float | None = None,
         batch_tile: int = 256,
+        schedule: str = "flooding",
+        n_layers: int = 0,
         interpret: bool = False,
     ):
         self.graph = graph
         self.batch_tile = batch_tile
-        t = _build_tables(graph)
-        self._tables = t
+        self.schedule = schedule
         m, n, dc = graph.m, graph.n, graph.dc_max
         Ep = dc * m
 
-        kernel = functools.partial(
-            _bp_kernel,
-            m=m,
-            n=n,
-            dc=dc,
-            bt=batch_tile,
-            max_iter=max_iter,
-            method=method,
-            alpha=alpha,
-            offset=offset,
-            damping=damping,
-            clip_llr=clip_llr,
-        )
+        if schedule == "layered":
+            if damping != 1.0:
+                raise ValueError("damping unsupported with layered schedule")
+            L = n_layers or next((k for k in (4, 3, 2) if m % k == 0), 1)
+            self._L = L
+            self._tables = _build_layered_tables(graph, L)
+            kernel = functools.partial(
+                _bp_layered_kernel,
+                m=m,
+                n=n,
+                dc=dc,
+                L=L,
+                bt=batch_tile,
+                max_iter=max_iter,
+                method=method,
+                alpha=alpha,
+                offset=offset,
+                clip_llr=clip_llr,
+            )
+        else:
+            self._L = 0
+            self._tables = _build_tables(graph)
+            kernel = functools.partial(
+                _bp_kernel,
+                m=m,
+                n=n,
+                dc=dc,
+                bt=batch_tile,
+                max_iter=max_iter,
+                method=method,
+                alpha=alpha,
+                offset=offset,
+                damping=damping,
+                clip_llr=clip_llr,
+            )
 
         # pallas_call grids are static; built lazily per batch size
         self._m, self._n, self._dc, self._Ep = m, n, dc, Ep
@@ -276,20 +458,33 @@ class PallasBPKernel:
         tile = lambda rows: pl.BlockSpec(
             (rows, bt), lambda i: (0, i), memory_space=pltpu.VMEM
         )
-        full = lambda r, c: pl.BlockSpec(
-            (r, c), lambda i: (0, 0), memory_space=pltpu.VMEM
+        full = lambda *dims: pl.BlockSpec(
+            dims, (lambda i: (0, 0, 0) if len(dims) == 3 else (0, 0)),
+            memory_space=pltpu.VMEM,
         )
-        return pl.pallas_call(
-            self._kernel,
-            grid=(n_tiles,),
-            in_specs=[
+        if self.schedule == "layered":
+            L = self._L
+            Epl = Ep // L
+            in_specs = [
+                tile(m),  # syndromes
+                tile(n),  # priors
+                full(L, n, Epl),
+                full(L, Epl, n),
+                full(m, n),
+            ]
+        else:
+            in_specs = [
                 tile(m),  # syndromes
                 tile(n),  # priors
                 full(n, Ep),
                 full(Ep, n),
                 full(m, n),
                 full(Ep, 1),
-            ],
+            ]
+        return pl.pallas_call(
+            self._kernel,
+            grid=(n_tiles,),
+            in_specs=in_specs,
             out_specs=(tile(n), tile(1), tile(1)),
             out_shape=(
                 jax.ShapeDtypeStruct((n, n_tiles * bt), jnp.float32),
@@ -314,13 +509,21 @@ class PallasBPKernel:
         priors_b = jnp.broadcast_to(priors, (B, self._n)).astype(jnp.float32)
         priors_t = jnp.pad(priors_b, ((0, pad), (0, 0)), constant_values=1.0).T
 
+        if self.schedule == "layered":
+            operands = (
+                jnp.asarray(t.M_ve),
+                jnp.asarray(t.M_ev),
+                jnp.asarray(t.H),
+            )
+        else:
+            operands = (
+                jnp.asarray(t.M_ve),
+                jnp.asarray(t.M_ev),
+                jnp.asarray(t.H),
+                jnp.asarray(t.mask),
+            )
         values_t, conv_t, iters_t = self._built(n_tiles)(
-            syn_t,
-            priors_t,
-            jnp.asarray(t.M_ve),
-            jnp.asarray(t.M_ev),
-            jnp.asarray(t.H),
-            jnp.asarray(t.mask),
+            syn_t, priors_t, *operands
         )
         values = values_t.T[:B]
         conv = conv_t[0, :B] > 0.5

@@ -54,6 +54,22 @@ def test_pallas_offset_min_sum(rng):
     assert np.array_equal(np.asarray(xla.hard), np.asarray(pal.hard))
 
 
+@pytest.mark.parametrize("method", ["sum-product", "min-sum"])
+def test_pallas_layered_matches_xla_layered(rng, method):
+    """The fused check-serial kernel must agree with the XLA layered path
+    bit-for-bit on decisions (same layer partition, same freeze)."""
+    code = get_code("[[72, 12, 6]]")
+    H = code.Hx
+    syn = sample(rng, H, 0.05, batch=256)
+    prior = np.full(code.n, np.log(0.95 / 0.05), np.float32)
+    kw = dict(max_iter=25, method=method, schedule="layered")
+    xla = BPDecoder(H, BPConfig(**kw))(syn, prior)
+    pal = BPDecoder(H, BPConfig(backend="pallas", batch_tile=128, **kw))(syn, prior)
+    assert np.array_equal(np.asarray(xla.converged), np.asarray(pal.converged))
+    assert np.array_equal(np.asarray(xla.iterations), np.asarray(pal.iterations))
+    assert np.array_equal(np.asarray(xla.hard), np.asarray(pal.hard))
+
+
 def test_pallas_irregular_check_degrees(rng):
     """Space-time matrices have mixed check degrees (7 and 8): exercises the
     phantom-slot masking in the kernel tables."""
