@@ -60,6 +60,11 @@ class EngineConfig:
     # instead of the full-batch one. Results are identical to full OSD as
     # long as failures fit the selected tier (OSD runs on exactly the
     # non-converged samples either way, like studies/study.py:62-68).
+    osd_chunk: int = 8192  # cap on the lanes of a single OSD program: tiers
+    # above this run as fori_loop chunks of this size. Every lax.cond branch
+    # is compiled even when runtime-skipped, so without the cap the top
+    # (full-batch) tier would materialize OSD intermediates for the whole
+    # batch at compile time — 21 GB at a 262k batch. 0 disables chunking.
     fused_dispatch: bool = True  # True: all batches of a rate in one
     # dispatched program (fewest host round trips; robust on high-latency
     # links); False: async pipelined per-batch dispatches
@@ -339,9 +344,39 @@ class MonteCarloEngine:
                     # compaction: stable-sort non-converged samples to the
                     # front, post-process the first k slots, scatter back
                     sel = jnp.argsort(conv, stable=True)[:k]
-                    osd_sol = self._osd._decode(
-                        syn[sel], bp_res.llrs[sel], bp_res.hard[sel]
-                    )
+                    syn_s = syn[sel]
+                    llr_s = bp_res.llrs[sel]
+                    hard_s = bp_res.hard[sel]
+                    chunk = self.config.osd_chunk
+                    if chunk and k > chunk:
+                        # bounded-memory top tier: one chunk-sized OSD
+                        # program swept over the compacted slots (padded
+                        # lanes decode the zero syndrome; discarded below)
+                        n_ch = -(-k // chunk)
+                        pad = n_ch * chunk - k
+                        if pad:
+                            syn_s = jnp.pad(syn_s, ((0, pad), (0, 0)))
+                            llr_s = jnp.pad(
+                                llr_s, ((0, pad), (0, 0)), constant_values=1.0
+                            )
+                            hard_s = jnp.pad(hard_s, ((0, pad), (0, 0)))
+
+                        def body(i, acc):
+                            dsl = lambda x: jax.lax.dynamic_slice_in_dim(
+                                x, i * chunk, chunk, 0
+                            )
+                            sol_i = self._osd._decode(
+                                dsl(syn_s), dsl(llr_s), dsl(hard_s)
+                            )
+                            return jax.lax.dynamic_update_slice_in_dim(
+                                acc, sol_i, i * chunk, 0
+                            )
+
+                        osd_sol = jax.lax.fori_loop(
+                            0, n_ch, body, jnp.zeros_like(hard_s)
+                        )[:k]
+                    else:
+                        osd_sol = self._osd._decode(syn_s, llr_s, hard_s)
                     picked = jnp.where(
                         conv[sel][:, None], bp_res.hard[sel], osd_sol
                     )

@@ -103,6 +103,25 @@ class TestEngine:
             for k in cf:
                 np.testing.assert_array_equal(cf[k], ct[k], err_msg=f"p={p} {k}")
 
+    def test_osd_chunked_top_tier_matches_unchunked(self):
+        """The bounded-memory top tier (fori_loop of osd_chunk-lane OSD
+        programs) must be bit-identical to the single full-width program —
+        the lanes elimination is per-lane independent and padded lanes
+        decode the zero syndrome."""
+        code = get_code("[[72, 12, 6]]")
+        mk = lambda chunk: MonteCarloEngine(
+            code,
+            EngineConfig(
+                bp=BPConfig(max_iter=10), osd=OSDConfig(order=0),
+                batch_size=96, osd_tiers=(), osd_chunk=chunk,
+            ),
+        )
+        for p in (0.03, 0.08):
+            cc = counters_to_dict(mk(40).run_rate(p, trials=192, seed=5))
+            cf = counters_to_dict(mk(0).run_rate(p, trials=192, seed=5))
+            for k in cf:
+                np.testing.assert_array_equal(cf[k], cc[k], err_msg=f"p={p} {k}")
+
     def test_odd_distance_miscorrection_threshold(self):
         """Steane (d=3): a weight-1 error causing a logical fault is
         *miscorrected* (weight < d/2, studies/study.py:83-87); weight-2+ is
