@@ -37,7 +37,7 @@ from qldpc_tpu.decoders.bp import BPConfig, BPDecoder
 from qldpc_tpu.decoders.osd import OSDConfig, OSDDecoder
 from qldpc_tpu.mc.metrics import HIST_BINS, Counters, counters_to_dict, zeros_counters
 from qldpc_tpu.noise import spacetime as st
-from qldpc_tpu.parallel.mesh import BATCH_AXIS, make_mesh
+from qldpc_tpu.parallel.mesh import BATCH_AXIS, RATE_AXIS, make_mesh
 
 __all__ = ["EngineConfig", "MonteCarloEngine", "SweepResult"]
 
@@ -98,7 +98,9 @@ class MonteCarloEngine:
         self.code = code
         self.config = config
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.n_devices = self.mesh.devices.size
+        # batch parallelism spans the BATCH_AXIS only; a 2-D (rate, mc)
+        # mesh additionally shards the error-rate grid (run_rates_sharded)
+        self.n_devices = dict(self.mesh.shape)[BATCH_AXIS]
         if config.batch_size % self.n_devices:
             raise ValueError("batch_size must divide evenly across the mesh")
         self.local_batch = config.batch_size // self.n_devices
@@ -415,6 +417,7 @@ class MonteCarloEngine:
         )
 
         self._multi_cache = {}
+        self._rates_cache = {}
         return jax.jit(sharded)
 
     def _batch_fn_multi_offset(self, n_batches: int):
@@ -531,6 +534,109 @@ class MonteCarloEngine:
                 on_batch(b, n_batches, total)
         return total
 
+    def _rates_fn(self, n_batches: int):
+        """Rate-axis-sharded fused sweep program: each RATE_AXIS shard scans
+        its slice of the rate grid, running ``n_batches`` batch-sharded
+        batches per rate (psum over BATCH_AXIS only). RNG is keyed by the
+        *global* rate index + the same per-rate hash fold as ``run_rate``,
+        so counters are bit-identical to per-rate ``run_rate`` calls on any
+        mesh shape."""
+        fn = self._rates_cache.get(n_batches)
+        if fn is not None:
+            return fn
+        B = self.config.batch_size
+
+        def local_rates(rates_l, hash_l, gidx_l, trials, offset, seed, base0, alpha):
+            def per_rate(carry, xs):
+                p, h, gi = xs
+                key = jax.random.key(seed + gi.astype(jnp.int32))
+                kp = jax.random.fold_in(key, h)
+
+                def body(i, tot):
+                    b = offset + i
+                    kb = jax.random.fold_in(kp, b)
+                    n_valid = jnp.clip(trials - b * B, 0, B)
+                    return tot + self._local_step(kb, p, n_valid, base0, alpha)
+
+                return carry, jax.lax.fori_loop(0, n_batches, body, zeros_counters())
+
+            _, out = jax.lax.scan(per_rate, 0, (rates_l, hash_l, gidx_l))
+            return out
+
+        fn = jax.jit(
+            jax.shard_map(
+                local_rates,
+                mesh=self.mesh,
+                in_specs=(
+                    P(RATE_AXIS), P(RATE_AXIS), P(RATE_AXIS),
+                    P(), P(), P(), P(), P(),
+                ),
+                out_specs=P(RATE_AXIS),
+                check_vma=False,
+            )
+        )
+        self._rates_cache[n_batches] = fn
+        return fn
+
+    def run_rates_sharded(
+        self, error_rates, trials: int, seed: int = 0,
+        alpha: float | None = None,
+    ) -> list[Counters]:
+        """Sweep a whole rate grid with the grid sharded over the mesh's
+        RATE_AXIS (build the engine with ``make_mesh(rate_shards=r)``).
+
+        Counters are bit-identical to ``[run_rate(p_i, trials, seed+i) for
+        i, p_i in enumerate(error_rates)]`` — the RNG stream depends only on
+        (seed + rate index, hash(p), global sample id), never on the mesh.
+        On a 1-D mesh this falls back to exactly that sequential loop."""
+        shape = dict(self.mesh.shape)
+        if RATE_AXIS not in shape:
+            return [
+                self.run_rate(float(p), trials, seed=seed + i, alpha=alpha)
+                for i, p in enumerate(error_rates)
+            ]
+        if alpha is not None and not self._alpha_traceable:
+            raise ValueError("per-rate alpha override needs an xla BP backend")
+        if trials >= 2**31:
+            raise ValueError(f"trials={trials} exceeds int32")
+        n_rs = shape[RATE_AXIS]
+        R = len(error_rates)
+        pad = (-R) % n_rs
+        rate_list = [float(p) for p in error_rates] + [
+            float(error_rates[-1])
+        ] * pad
+        rates = np.asarray(rate_list, np.float32)
+        # hash the PYTHON floats (as run_rate does), not their f32 casts
+        hashes = np.asarray(
+            [hash(p) % (2**31) for p in rate_list], np.uint32
+        )
+        gidx = np.arange(rates.size, dtype=np.int32)
+        B = self.config.batch_size
+        n_batches = -(-trials // B)
+        max_fused = max(1, (2**30) // (B * max(self.config.bp.max_iter, 1)))
+        a32 = jnp.float32(self.config.bp.alpha if alpha is None else alpha)
+        to_host = lambda c: jax.tree.map(
+            lambda x: np.asarray(x, dtype=np.int64), c
+        )
+        totals = to_host(
+            jax.tree.map(
+                lambda z: jnp.zeros((rates.size,) + z.shape, z.dtype),
+                zeros_counters(),
+            )
+        )
+        b = 0
+        while b < n_batches:
+            nb = min(max_fused, n_batches - b)
+            chunk = self._rates_fn(nb)(
+                jnp.asarray(rates), jnp.asarray(hashes), jnp.asarray(gidx),
+                jnp.int32(trials), jnp.int32(b), jnp.int32(seed),
+                jnp.uint32(0), a32,
+            )
+            totals = totals + to_host(chunk)
+            b += nb
+        # totals is a Counters tree stacked (R + pad, ...); unstack, drop pad
+        return [jax.tree.map(lambda x: x[i], totals) for i in range(R)]
+
     def sweep(
         self,
         error_rates,
@@ -539,21 +645,41 @@ class MonteCarloEngine:
         checkpoint=None,
         verbose: bool = False,
     ) -> SweepResult:
-        """Full LER sweep over an error-rate grid (with optional resume)."""
+        """Full LER sweep over an error-rate grid (with optional resume).
+
+        On a 2-D (rate, mc) mesh the grid is sharded over the rate axis
+        (``run_rates_sharded``) unless checkpointing is requested — resume
+        granularity is per (rate, batch), which the fused sharded program
+        does not expose."""
         t0 = time.time()
         per_rate = []
-        for i, p in enumerate(error_rates):
-            if checkpoint is not None:
-                counters = checkpoint.run_rate(self, float(p), trials, seed + i)
-            else:
-                counters = self.run_rate(float(p), trials, seed=seed + i)
-            d = counters_to_dict(counters)
-            per_rate.append(d)
-            if verbose:
-                print(
-                    f"{self.code.name} p={float(p):.5g}: ler={d['ler']:.5g} "
-                    f"osd={d['osd']:.3g} iters={d['average_iterations']:.2f}"
-                )
+        if checkpoint is None and RATE_AXIS in dict(self.mesh.shape):
+            all_counters = self.run_rates_sharded(error_rates, trials, seed)
+            for p, counters in zip(error_rates, all_counters):
+                d = counters_to_dict(counters)
+                per_rate.append(d)
+                if verbose:
+                    print(
+                        f"{self.code.name} p={float(p):.5g}: "
+                        f"ler={d['ler']:.5g} osd={d['osd']:.3g} "
+                        f"iters={d['average_iterations']:.2f}"
+                    )
+        else:
+            for i, p in enumerate(error_rates):
+                if checkpoint is not None:
+                    counters = checkpoint.run_rate(
+                        self, float(p), trials, seed + i
+                    )
+                else:
+                    counters = self.run_rate(float(p), trials, seed=seed + i)
+                d = counters_to_dict(counters)
+                per_rate.append(d)
+                if verbose:
+                    print(
+                        f"{self.code.name} p={float(p):.5g}: "
+                        f"ler={d['ler']:.5g} osd={d['osd']:.3g} "
+                        f"iters={d['average_iterations']:.2f}"
+                    )
         wall = time.time() - t0
         total_trials = sum(r["trials"] for r in per_rate)
         return SweepResult(

@@ -15,18 +15,40 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
-__all__ = ["make_mesh", "init_distributed", "BATCH_AXIS", "PartitionSpec"]
+__all__ = [
+    "make_mesh", "init_distributed", "BATCH_AXIS", "RATE_AXIS", "PartitionSpec",
+]
 
 BATCH_AXIS = "mc"
+RATE_AXIS = "rate"
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D mesh over the sample-batch axis."""
+def make_mesh(
+    n_devices: int | None = None, devices=None, rate_shards: int = 1
+) -> Mesh:
+    """Device mesh for Monte-Carlo sweeps.
+
+    ``rate_shards == 1`` (default): 1-D mesh, every device shards the
+    sample batch. ``rate_shards > 1``: 2-D ``(rate, mc)`` mesh — the
+    error-rate grid is sharded ``rate_shards`` ways and each rate group
+    batch-shards over the remaining devices
+    (:meth:`MonteCarloEngine.run_rates_sharded`). Wide sweeps on big
+    meshes trade batch parallelism for rate parallelism, which keeps
+    per-device batches large enough to stay compute-bound."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (BATCH_AXIS,))
+    devices = np.asarray(devices)
+    if rate_shards == 1:
+        return Mesh(devices, (BATCH_AXIS,))
+    if devices.size % rate_shards:
+        raise ValueError(
+            f"rate_shards={rate_shards} must divide {devices.size} devices"
+        )
+    return Mesh(
+        devices.reshape(rate_shards, -1), (RATE_AXIS, BATCH_AXIS)
+    )
 
 
 def init_distributed(**kwargs) -> None:

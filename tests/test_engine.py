@@ -53,6 +53,43 @@ class TestEngine:
         for k in c1:
             np.testing.assert_array_equal(c1[k], c8[k], err_msg=k)
 
+    def test_rate_sharded_sweep_matches_per_rate_runs(self):
+        """2-D (rate, mc) mesh: the rate-axis-sharded sweep must produce
+        counters bit-identical to per-rate run_rate calls on a 1-D mesh —
+        RNG depends only on (seed + rate index, hash(p), global sample id),
+        never on the mesh shape. Also exercises grid padding (3 rates on a
+        4-way rate axis)."""
+        code = get_code("steane")
+        cfg = EngineConfig(
+            bp=BPConfig(max_iter=20), osd=OSDConfig(order=0), batch_size=64
+        )
+        rates = [0.02, 0.05, 0.08]
+        eng2d = MonteCarloEngine(code, cfg, mesh=make_mesh(rate_shards=4))
+        eng1d = MonteCarloEngine(code, cfg, mesh=make_mesh(8))
+        sharded = eng2d.run_rates_sharded(rates, trials=128, seed=7)
+        for i, p in enumerate(rates):
+            ref = counters_to_dict(eng1d.run_rate(p, trials=128, seed=7 + i))
+            got = counters_to_dict(sharded[i])
+            for k in ref:
+                np.testing.assert_array_equal(
+                    ref[k], got[k], err_msg=f"rate {p} {k}"
+                )
+
+    def test_run_rates_sharded_falls_back_on_1d_mesh(self):
+        code = get_code("steane")
+        cfg = EngineConfig(
+            bp=BPConfig(max_iter=20), osd=OSDConfig(order=0), batch_size=64
+        )
+        eng = MonteCarloEngine(code, cfg, mesh=make_mesh(8))
+        outs = eng.run_rates_sharded([0.03, 0.06], trials=64, seed=2)
+        refs = [
+            eng.run_rate(p, trials=64, seed=2 + i)
+            for i, p in enumerate([0.03, 0.06])
+        ]
+        for got, ref in zip(outs, refs):
+            for k, v in counters_to_dict(ref).items():
+                np.testing.assert_array_equal(v, counters_to_dict(got)[k])
+
     def test_fused_matches_async_dispatch(self):
         """The fused fori_loop dispatch and the async per-batch dispatch
         derive identical per-batch keys, so their counters agree exactly."""
