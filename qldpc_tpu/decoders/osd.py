@@ -106,6 +106,40 @@ class OSDDecoder:
         self.n_words = -(-self.n // _WORD)
         self._H = jnp.asarray(H)
         self._Hf = jnp.asarray(H, jnp.float32)  # for MXU residual matmul
+        # GF(2) rank of H: column permutations preserve it, so once every
+        # lane's elimination has found `rank(H)` pivots the remaining column
+        # steps are provable no-ops (a step only mutates state when it finds
+        # a new pivot) — the elimination loops exit there instead of
+        # sweeping all n columns. Dominant at DEM scale: rank 432 of
+        # n = 15765 columns.
+        from qldpc_tpu import native as _native
+
+        self._H_rank = int(_native.rank(H))
+        # Wide systems (n >> m, e.g. circuit-level DEMs: 432 x 15765) use
+        # the TRANSFORM elimination: instead of row-reducing the full packed
+        # (m, n_words) system — whose per-column row ops sweep 493-word rows
+        # and whose per-sample column permutation materializes (B, m, n) —
+        # carry only the m x m row-operation transform T (m_words words per
+        # row) plus b, and compute RREF column bits on demand as
+        # parity(T & H[:, col]) from statically packed H columns. Identical
+        # pivoting order => identical results.
+        self.m_words = -(-self.m // _WORD)
+        self._use_transform = self.n_words > 4 * self.m_words
+        if self._use_transform:
+            Ht = H.T.astype(np.uint32)  # (n, m)
+            padc = self.m_words * _WORD - self.m
+            Ht = np.pad(Ht, ((0, 0), (0, padc)))
+            Ht = Ht.reshape(self.n, self.m_words, _WORD)
+            shifts = np.arange(_WORD, dtype=np.uint32)
+            self._Hc = jnp.asarray(
+                (Ht << shifts).sum(axis=-1).astype(np.uint32)
+            )  # (n, m_words) packed columns of H
+            eye = np.eye(self.m, dtype=np.uint32)
+            eye = np.pad(eye, ((0, 0), (0, padc)))
+            eye = eye.reshape(self.m, self.m_words, _WORD)
+            self._T0 = jnp.asarray(
+                (eye << shifts).sum(axis=-1).astype(np.uint32)
+            )  # (m, m_words) packed identity
         if config.order > 0:
             t = min(config.order + config.extra_positions, self.n)
             self.num_test = t
@@ -181,7 +215,7 @@ class OSDDecoder:
         def step(col, state):
             A, b, rank, piv_col = state
             bits = self._extract_col(A, col)
-            cand = (bits == 1) & (row_ids >= rank)
+            cand = (bits == 1) & (row_ids >= rank) & (col < self.n)
             has = jnp.any(cand)
             p = jnp.argmax(cand)  # first eligible row holding the bit
 
@@ -209,9 +243,23 @@ class OSDDecoder:
             return A, b, rank, piv_col
 
         piv_col0 = jnp.full((m,), -1, jnp.int32)
-        return jax.lax.fori_loop(
-            0, self.n, step, (A, b, jnp.int32(0), piv_col0)
+        blk = 32
+
+        def cond(state):
+            (_, _, rank, _), col = state
+            return (col < self.n) & (rank < self._H_rank)
+
+        def body(state):
+            inner, col = state
+            inner = jax.lax.fori_loop(
+                0, blk, lambda i, s: step(col + i, s), inner
+            )
+            return inner, col + blk
+
+        (A, b, rank, piv_col), _ = jax.lax.while_loop(
+            cond, body, ((A, b, jnp.int32(0), piv_col0), jnp.int32(0))
         )
+        return A, b, rank, piv_col
 
     def _osd_single(self, syndrome: jax.Array, llr: jax.Array, hard: jax.Array):
         n, m = self.n, self.m
@@ -321,7 +369,7 @@ class OSDDecoder:
             bit = (col % _WORD).astype(jnp.uint32)
             word = jax.lax.dynamic_index_in_dim(A, w, axis=1, keepdims=False)
             bits = (word >> bit) & 1  # (m, B)
-            cand = (bits == 1) & (row_ids >= rank[None, :])
+            cand = (bits == 1) & (row_ids >= rank[None, :]) & (col < self.n)
             has = jnp.any(cand, axis=0)  # (B,)
             ps = jnp.cumsum(cand.astype(jnp.int32), axis=0)
             oh_p = cand & (ps == 1)  # first eligible row per lane
@@ -351,9 +399,109 @@ class OSDDecoder:
 
         B = A.shape[-1]
         piv0 = jnp.full((m, B), -1, jnp.int32)
-        return jax.lax.fori_loop(
-            0, self.n, step, (A, b, jnp.zeros((B,), jnp.int32), piv0)
+        blk = 32
+
+        def cond(state):
+            (_, _, rank, _), col = state
+            return (col < self.n) & (jnp.min(rank) < self._H_rank)
+
+        def body(state):
+            inner, col = state
+            inner = jax.lax.fori_loop(
+                0, blk, lambda i, s: step(col + i, s), inner
+            )
+            return inner, col + blk
+
+        (A, b, rank, piv_col), _ = jax.lax.while_loop(
+            cond,
+            body,
+            ((A, b, jnp.zeros((B,), jnp.int32), piv0), jnp.int32(0)),
         )
+        return A, b, rank, piv_col
+
+    def _eliminate_lanes_T(self, order: jax.Array, b: jax.Array):
+        """Transform-based masked RREF for wide systems, batch in lanes.
+
+        ``order`` (B, n) per-sample column permutation, ``b`` (m, B) uint32
+        residual syndromes. Carries T (m, m_words, B) — the accumulated row
+        operations, starting from identity — instead of the full packed
+        system: the RREF bit of (row r, permuted column c) is
+        parity(T[r] & Hc[order[c]]). Pivot choice / swap / eliminate follow
+        ``_eliminate_lanes`` exactly, so pivots and b match it bit-for-bit.
+        Exits once every lane reaches rank(H) (see ``_H_rank``).
+
+        Returns (T, b, rank (B,), piv_col (m, B) int32).
+        """
+        m = self.m
+        B = b.shape[-1]
+        row_ids = jnp.arange(m)[:, None]  # (m, 1)
+        T = jnp.broadcast_to(self._T0[:, :, None], (m, self.m_words, B))
+
+        def step(col, state):
+            T, b, rank, piv_col = state
+            ocol = jax.lax.dynamic_slice_in_dim(
+                order, jnp.minimum(col, self.n - 1), 1, axis=1
+            )[:, 0]  # (B,) original column ids
+            hcol = self._Hc[ocol].T  # (m_words, B)
+            cnt = jnp.sum(
+                jax.lax.population_count(T & hcol[None, :, :]),
+                axis=1,
+                dtype=jnp.int32,
+            )
+            bits = (cnt & 1).astype(jnp.uint32)  # (m, B)
+            cand = (bits == 1) & (row_ids >= rank[None, :]) & (col < self.n)
+            has = jnp.any(cand, axis=0)  # (B,)
+            ps = jnp.cumsum(cand.astype(jnp.int32), axis=0)
+            oh_p = cand & (ps == 1)
+            oh_r = row_ids == rank[None, :]
+
+            au = lambda x: x.astype(jnp.uint32)
+            pivrow = jnp.sum(T * au(oh_p)[:, None, :], axis=0, dtype=jnp.uint32)
+            rankrow = jnp.sum(T * au(oh_r)[:, None, :], axis=0, dtype=jnp.uint32)
+            diff = pivrow ^ rankrow
+            swap = au((oh_p ^ oh_r) & has[None, :])
+            T = T ^ (swap[:, None, :] * diff[None, :, :])
+            pb = jnp.sum(b * au(oh_p), axis=0, dtype=jnp.uint32)
+            rb = jnp.sum(b * au(oh_r), axis=0, dtype=jnp.uint32)
+            b = b ^ (swap * (pb ^ rb)[None, :])
+
+            # bits after the swap, without a second parity pass: the swap
+            # only exchanged rows p and r
+            bits_p = jnp.sum(bits * au(oh_p), axis=0)  # (B,)
+            bits_r = jnp.sum(bits * au(oh_r), axis=0)
+            bits2 = jnp.where(oh_p, bits_r[None, :], bits)
+            bits2 = jnp.where(oh_r, bits_p[None, :], bits2)
+
+            elim = au((bits2 == 1) & ~oh_r & has[None, :])
+            newpiv = jnp.sum(T * au(oh_r)[:, None, :], axis=0, dtype=jnp.uint32)
+            newpb = jnp.sum(b * au(oh_r), axis=0, dtype=jnp.uint32)
+            T = T ^ (elim[:, None, :] * newpiv[None, :, :])
+            b = b ^ (elim * newpb[None, :])
+
+            piv_col = jnp.where(oh_r & has[None, :], jnp.int32(col), piv_col)
+            rank = rank + has.astype(rank.dtype)
+            return T, b, rank, piv_col
+
+        piv0 = jnp.full((m, B), -1, jnp.int32)
+        blk = 32
+
+        def cond(state):
+            (_, _, rank, _), col = state
+            return (col < self.n) & (jnp.min(rank) < self._H_rank)
+
+        def body(state):
+            inner, col = state
+            inner = jax.lax.fori_loop(
+                0, blk, lambda i, s: step(col + i, s), inner
+            )
+            return inner, col + blk
+
+        (T, b, rank, piv_col), _ = jax.lax.while_loop(
+            cond,
+            body,
+            ((T, b, jnp.zeros((B,), jnp.int32), piv0), jnp.int32(0)),
+        )
+        return T, b, rank, piv_col
 
     def _eliminate_pallas_padded(self, A: jax.Array, b: jax.Array):
         """VMEM-resident elimination kernel (ops/osd_pallas.py), padding the
@@ -392,7 +540,8 @@ class OSDDecoder:
     def _lanes_core(self, syndromes, llrs, hard):
         """Shared lanes pipeline: permute, pack, eliminate, OSD-0 solve.
 
-        Returns (order, A_bt (B,m,nw), b_bt (B,m), piv_bt (B,m), solution).
+        Returns (order, A_bt (B,m,nw) [or T_bt (B,m,mw) for wide systems],
+        b_bt (B,m), piv_bt (B,m), solution).
         """
         n = self.n
         B = syndromes.shape[0]
@@ -405,14 +554,19 @@ class OSDDecoder:
         ) % 2
 
         order = jnp.argsort(jnp.abs(llrs), axis=1, stable=True)  # (B, n)
-        Hp = jnp.take(self._H, order, axis=1)  # (m, B, n) -> (B, m, n)
-        Hp = Hp.transpose(1, 0, 2)
-        A = self._pack_lanes(Hp)
-        if self.backend == "pallas":
+        if self._use_transform:
+            A, bb, rank, piv_col = self._eliminate_lanes_T(
+                order, resid.T.astype(jnp.uint32)
+            )
+        elif self.backend == "pallas":
+            Hp = jnp.take(self._H, order, axis=1).transpose(1, 0, 2)
+            A = self._pack_lanes(Hp)
             A, bb, piv_col = self._eliminate_pallas_padded(
                 A, resid.T.astype(jnp.uint32)
             )
         else:
+            Hp = jnp.take(self._H, order, axis=1).transpose(1, 0, 2)
+            A = self._pack_lanes(Hp)
             A, bb, rank, piv_col = self._eliminate_lanes(
                 A, resid.T.astype(jnp.uint32)
             )
@@ -428,6 +582,46 @@ class OSDDecoder:
 
     def _osd0_lanes(self, syndromes, llrs, hard):
         return self._lanes_core(syndromes, llrs, hard)[-1]
+
+    def _search_single_T(self, T, bvec, piv_col, ordering, w_perm):
+        """OSD-e pattern search from the transform representation.
+
+        Same search as ``_search_single``, but the RREF test-column bits are
+        computed as parity(T[r] & Hc[ordering[test_col]]) instead of being
+        read out of the packed full system (which the wide-system path never
+        materializes). T (m, m_words) uint32; other args as _search_single.
+        """
+        n = self.n
+        tgt = jnp.where(piv_col >= 0, piv_col, n)
+        is_piv = jnp.zeros(n + 1, bool).at[tgt].set(piv_col >= 0)[:n]
+        col_ids = jnp.arange(n)
+        test_cols = jnp.argsort(
+            jnp.where(is_piv, n + col_ids, col_ids), stable=True
+        )[: self.num_test]
+        test_valid = ~is_piv[test_cols]
+
+        hc = self._Hc[ordering[test_cols]]  # (t, m_words)
+        cnt = jnp.sum(
+            jax.lax.population_count(T[:, None, :] & hc[None, :, :]),
+            axis=-1,
+            dtype=jnp.int32,
+        )  # (m, t)
+        Tmat = (cnt & 1).astype(jnp.float32)
+        Tmat = Tmat * test_valid[None, :].astype(jnp.float32)
+
+        F = self._patterns * test_valid[None, :].astype(jnp.float32)  # (C, t)
+        piv_vals = jnp.mod(F @ Tmat.T + bvec.astype(jnp.float32)[None, :], 2.0)
+
+        w_test = w_perm[test_cols] * test_valid
+        w_piv = jnp.where(piv_col >= 0, w_perm[jnp.clip(piv_col, 0, n - 1)], 0.0)
+        costs = F @ w_test + piv_vals @ w_piv
+        best = jnp.argmin(costs)
+
+        f_best = self._patterns[best] * test_valid.astype(jnp.float32)
+        pv_best = piv_vals[best]
+        e_full = jnp.zeros(n + 1, jnp.float32).at[test_cols].set(f_best)
+        e_full = e_full.at[tgt].set(jnp.where(piv_col >= 0, pv_best, 0.0))
+        return e_full[:n].astype(jnp.uint32)
 
     def _search_single(self, A, bvec, piv_col, ordering, w_perm):
         """OSD-e pattern search from a precomputed RREF (permuted coords).
@@ -500,9 +694,14 @@ class OSDDecoder:
 
         def chunk_fn(args):
             A, bvec, piv, ordc, wp, active = args
+            search = (
+                self._search_single_T
+                if self._use_transform
+                else self._search_single
+            )
 
             def do_search(_):
-                return jax.vmap(self._search_single)(A, bvec, piv, ordc, wp)
+                return jax.vmap(search)(A, bvec, piv, ordc, wp)
 
             return jax.lax.cond(
                 jnp.any(active),

@@ -156,6 +156,15 @@ PRESETS: dict[str, ExperimentSpec] = {
         name="complete", channel="circuit-level", trials=1000,
         bp_max_iter=100, osd_order=None, batch_size=512,
     ),
+    # recommended circuit-level config: BP alone barely converges on DEMs
+    # (hyperedge degeneracy; ~14% at p=0.003 on [[72,12,6]]) — BP+OSD-0 via
+    # the transform elimination decodes them properly (obs-err 0.0078 vs
+    # 0.29 BP-only at p=0.001, measured 2026-08-18)
+    "complete-bposd": ExperimentSpec(
+        name="complete-bposd", channel="circuit-level", trials=1000,
+        bp_max_iter=100, osd_order=0, batch_size=512,
+        error_rates=[0.0005, 0.001, 0.002, 0.003],
+    ),
     # studies/studyTT.py — space-time decoding, implemented correctly
     "space-time": ExperimentSpec(
         name="space-time", channel="space-time", trials=1000,

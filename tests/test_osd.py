@@ -140,3 +140,53 @@ class TestOSDeBackendEquivalence:
             )
         )
         assert np.array_equal(a, b)
+
+
+class TestTransformElimination:
+    """Wide systems (n_words > 4*m_words) use the m x m transform-based
+    elimination instead of row-reducing the full packed system. Pivoting
+    order is identical, so results must match the standard path exactly."""
+
+    def _wide_case(self, rng, m=24, n=320, batch=24, redundant=2):
+        H = (rng.random((m - redundant, n)) < 0.08).astype(np.uint8)
+        H[:, : m - redundant] |= np.eye(m - redundant, dtype=np.uint8)  # full rank prefix
+        H = np.vstack([H, H[:redundant]])  # redundant rows: rank < m
+        errors = (rng.random((batch, n)) < 0.02).astype(np.int8)
+        syndromes = (errors @ H.T) % 2
+        llrs = rng.normal(size=(batch, n)).astype(np.float32) * 3.0
+        hard = np.zeros((batch, n), np.int8)
+        return H, syndromes, llrs, hard
+
+    def test_transform_enabled_on_wide_system(self, rng):
+        H, *_ = self._wide_case(rng)
+        assert OSDDecoder(H, OSDConfig(order=0))._use_transform
+
+    def test_osd0_matches_standard_lanes(self, rng):
+        H, syndromes, llrs, hard = self._wide_case(rng)
+        dec_t = OSDDecoder(H, OSDConfig(order=0, backend="lanes"))
+        dec_s = OSDDecoder(H, OSDConfig(order=0, backend="lanes"))
+        object.__setattr__(dec_s, "_use_transform", False)
+        a = np.asarray(dec_t(syndromes, llrs, hard))
+        b = np.asarray(dec_s(syndromes, llrs, hard))
+        assert np.array_equal(a, b)
+
+    def test_osd0_matches_oracle(self, rng):
+        H, syndromes, llrs, hard = self._wide_case(rng, batch=12)
+        dec = OSDDecoder(H, OSDConfig(order=0, backend="lanes"))
+        sol = np.asarray(dec(syndromes, llrs, hard))
+        for i in range(len(syndromes)):
+            exp = oracles.osd0(H, syndromes[i], llrs[i], hard[i])
+            assert np.array_equal(sol[i], exp), f"sample {i}"
+
+    def test_osde_matches_standard_lanes_on_inconsistent(self, rng):
+        H, syndromes, llrs, hard = self._wide_case(rng, batch=16)
+        # flip detector bits so some systems become inconsistent
+        flip = rng.integers(0, H.shape[0], size=16)
+        syndromes = np.asarray(syndromes).copy()
+        syndromes[np.arange(16), flip] ^= 1
+        dec_t = OSDDecoder(H, OSDConfig(order=2, backend="lanes", chunk=8))
+        dec_s = OSDDecoder(H, OSDConfig(order=2, backend="lanes", chunk=8))
+        object.__setattr__(dec_s, "_use_transform", False)
+        a = np.asarray(dec_t(syndromes, llrs, hard))
+        b = np.asarray(dec_s(syndromes, llrs, hard))
+        assert np.array_equal(a, b)
