@@ -208,7 +208,10 @@ class BPDecoder:
         # keeps the cumprod: bit-exact oracle parity, and reduce->
         # broadcast chains on minor-dim-6 tensors segfault Mosaic
         # (CLAUDE.md) — the one-pass form is only emitted for dc > 16.
-        large_dc = dc > 16
+        # float64 configs always use the exact cumprod regardless of dc:
+        # the design invariant pins f64 decisions to tests/oracles.py
+        # exactly, and f64 is an oracle/debug path where speed is moot.
+        large_dc = dc > 16 and self._dtype != jnp.float64
         ssign = jnp.repeat(syndrome_sign[:, :, None], dc, axis=-1)
         if cfg.method == "sum-product":
             t = jnp.tanh(Q * 0.5)

