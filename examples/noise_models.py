@@ -34,20 +34,20 @@ def main():
 
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
-    e = code_capacity(k1, p, B, code.n)
+    e = code_capacity(k1, 0, p, B, code.n)
     s = syndrome_of(H, e)
     res = dec(s, prior)
     print(f"code capacity:       mean wt={float(e.sum(1).mean()):.2f} "
           f"syndrome wt={float(s.sum(1).mean()):.2f} "
           f"BP converged={float(res.converged.mean()):.3f}")
 
-    e = doubled_channel(k2, p, B, code.n)
+    e = doubled_channel(k2, 0, p, B, code.n)
     s = syndrome_of(H, e)
     res = dec(s, prior)
     print(f"doubled (e1^e2):     mean wt={float(e.sum(1).mean()):.2f} "
           f"BP converged={float(res.converged.mean()):.3f}")
 
-    e, flips = phenomenological(k3, p, B, code.n, H.shape[0])
+    e, flips = phenomenological(k3, 0, p, B, code.n, H.shape[0])
     s = (syndrome_of(H, e) + flips) % 2
     res = dec(s, prior)
     print(f"phenomenological:    syndrome flips={float(flips.sum(1).mean()):.2f} "

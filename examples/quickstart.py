@@ -4,11 +4,15 @@ Loads the Steane code, injects a 2-bit error, decodes with BP, falls back to
 OSD-0 on failure, and prints every intermediate quantity.
 """
 
+import os
+import tempfile
+
 import numpy as np
 
 from qldpc_tpu.codes import get_code
 from qldpc_tpu.decoders import BPConfig, BPDecoder
 from qldpc_tpu.decoders.osd import OSDConfig, OSDDecoder
+from qldpc_tpu.utils.plotting import plot_matrix, plot_tanner_graph
 
 
 def main():
@@ -16,6 +20,13 @@ def main():
     H = code.Hx
     print(f"code: {code.name} [[{code.n}, {code.k}, {code.distance}]]")
     print("H =\n", H)
+
+    # visualize the code (the reference demo's plotMatrix step, main.py:16,
+    # plus the Tanner graph of drawUtils.py:4-35)
+    out = os.environ.get("QLDPC_PLOT_DIR", tempfile.gettempdir())
+    plot_matrix(H, os.path.join(out, "steane_matrix.png"), title="Steane Hx")
+    plot_tanner_graph(H, os.path.join(out, "steane_tanner.png"))
+    print(f"wrote steane_matrix.png / steane_tanner.png to {out}")
 
     p = 0.1
     prior = np.full(code.n, np.log((1 - p) / p), np.float32)

@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-checkpoint", action="store_true")
     r.add_argument("--quiet", action="store_true")
     r.add_argument(
+        "--trace",
+        metavar="DIR",
+        help="record a jax.profiler trace of the run into DIR "
+        "(view with TensorBoard / xprof)",
+    )
+    r.add_argument(
         "--set",
         action="append",
         default=[],
@@ -113,7 +119,17 @@ def main(argv=None) -> int:
                 overrides[key] = raw  # bare string (e.g. min-sum)
     spec = spec.replace(**overrides)
 
-    run_experiment(spec, verbose=not args.quiet, checkpoint=not args.no_checkpoint)
+    if args.trace:
+        from qldpc_tpu.utils.profiling import trace
+
+        with trace(args.trace):
+            run_experiment(
+                spec, verbose=not args.quiet, checkpoint=not args.no_checkpoint
+            )
+    else:
+        run_experiment(
+            spec, verbose=not args.quiet, checkpoint=not args.no_checkpoint
+        )
     return 0
 
 

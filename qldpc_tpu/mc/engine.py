@@ -177,35 +177,35 @@ class MonteCarloEngine:
     def _sample(self, key, base, p):
         """Channel sampling; returns (errors, syndromes, priors).
 
-        Draws come from *global* counter-mode RNG (utils/rng.py): sample i's
-        uniforms are a pure function of its global id, so the stream — and
-        every counter — is independent of the mesh shape and dispatch mode
+        Channel math lives in noise/channels.py (the single source of
+        truth); draws come from *global* counter-mode RNG (utils/rng.py):
+        sample i's uniforms are a pure function of its global id, so the
+        stream — and every counter — is independent of the mesh shape and
+        dispatch mode
         (tests/test_engine.py::test_mesh_sharding_matches_single_device).
         ``base`` is this shard's first global SAMPLE id (traced)."""
-        from qldpc_tpu.utils.rng import counter_bernoulli, counter_uniform
+        from qldpc_tpu.noise import channels as ch
 
         cfg = self.config
         n = self.n_vars
         B = self.local_batch
         if cfg.channel == "code-capacity":
-            errors = counter_bernoulli(key, p, base, (B, n))
+            errors = ch.code_capacity(key, base, p, B, n)
             syn = self._syndrome(errors)
-            priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
+            priors = ch.uniform_prior_llr(n, p)
         elif cfg.channel == "doubled":
-            p2 = 2.0 * p * (1.0 - p)
-            errors = counter_bernoulli(key, p2, base, (B, n))
+            errors = ch.doubled_channel(key, base, p, B, n)
             syn = self._syndrome(errors)
             # the reference decodes the doubled channel with the plain
             # log((1-p)/p) prior (paperResults.py:66-77)
-            priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
+            priors = ch.uniform_prior_llr(n, p)
         elif cfg.channel == "phenomenological":
             q = p if cfg.syndrome_flip_rate is None else cfg.syndrome_flip_rate
-            m = self.m_checks
-            u = counter_uniform(key, base, B, n + m)
-            errors = (u[:, :n] < p).astype(jnp.int8)
-            flips = (u[:, n:] < q).astype(jnp.int8)
+            errors, flips = ch.phenomenological(
+                key, base, p, B, n, self.m_checks, q=q
+            )
             syn = (self._syndrome(errors) + flips) % 2
-            priors = jnp.log((1 - p) / p) * jnp.ones((n,), jnp.float32)
+            priors = ch.uniform_prior_llr(n, p)
         elif cfg.channel == "space-time":
             q = p if cfg.syndrome_flip_rate is None else cfg.syndrome_flip_rate
             errors, syn = st.sample_space_time_counters(
@@ -259,10 +259,9 @@ class MonteCarloEngine:
         return jax.lax.cond(n_fail == 0, lambda: r1, run)
 
     def _syndrome(self, errors):
-        s = jnp.dot(
-            errors.astype(jnp.float32), self._Hf.T, preferred_element_type=jnp.float32
-        )
-        return jnp.mod(s, 2.0).astype(jnp.int8)
+        from qldpc_tpu.noise.channels import syndrome_of
+
+        return syndrome_of(self._Hf, errors)
 
     def _classify(self, errors, final, syn, bp_res, valid) -> Counters:
         """Outcome taxonomy of studies/study.py:73-87 + rework/main.py:164-190."""

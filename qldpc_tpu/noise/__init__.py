@@ -1,8 +1,6 @@
 from .channels import (
-    CHANNELS,
     code_capacity,
     doubled_channel,
-    get_channel,
     phenomenological,
     syndrome_of,
     uniform_prior_llr,
@@ -23,10 +21,8 @@ from .spacetime import (
 )
 
 __all__ = [
-    "CHANNELS",
     "code_capacity",
     "doubled_channel",
-    "get_channel",
     "phenomenological",
     "syndrome_of",
     "uniform_prior_llr",

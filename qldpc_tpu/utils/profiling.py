@@ -12,7 +12,7 @@ import dataclasses
 import time
 from collections import defaultdict
 
-__all__ = ["PhaseTimer", "trace", "Throughput"]
+__all__ = ["PhaseTimer", "trace"]
 
 
 @dataclasses.dataclass
@@ -48,7 +48,8 @@ class PhaseTimer:
 
 @contextlib.contextmanager
 def trace(log_dir: str):
-    """``jax.profiler`` trace context (view with TensorBoard / xprof)."""
+    """``jax.profiler`` trace context (view with TensorBoard / xprof).
+    Exposed on the CLI as ``run <preset> --trace DIR``."""
     import jax
 
     jax.profiler.start_trace(log_dir)
@@ -56,18 +57,3 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
-
-
-@dataclasses.dataclass
-class Throughput:
-    """samples/s counter over a window."""
-
-    samples: int = 0
-    started: float = dataclasses.field(default_factory=time.perf_counter)
-
-    def add(self, n: int) -> None:
-        self.samples += n
-
-    @property
-    def per_second(self) -> float:
-        return self.samples / max(time.perf_counter() - self.started, 1e-9)

@@ -22,21 +22,30 @@ from qldpc_tpu.noise import (
 class TestChannels:
     def test_code_capacity_rate(self):
         key = jax.random.key(0)
-        e = code_capacity(key, 0.1, 2000, 100)
+        e = code_capacity(key, 0, 0.1, 2000, 100)
         assert e.shape == (2000, 100)
         assert abs(float(jnp.mean(e.astype(jnp.float32))) - 0.1) < 0.01
 
     def test_doubled_channel_rate(self):
         key = jax.random.key(1)
         p = 0.1
-        e = doubled_channel(key, p, 4000, 64)
+        e = doubled_channel(key, 0, p, 4000, 64)
         expect = 2 * p * (1 - p)
         assert abs(float(jnp.mean(e.astype(jnp.float32))) - expect) < 0.01
 
     def test_phenomenological_shapes(self):
         key = jax.random.key(2)
-        e, f = phenomenological(key, 0.05, 128, 72, 36)
+        e, f = phenomenological(key, 0, 0.05, 128, 72, 36)
         assert e.shape == (128, 72) and f.shape == (128, 36)
+
+    def test_counter_mode_base_offsets_commute(self):
+        """Counter-mode contract: sample i of a batch starting at base b is
+        sample 0 of a batch starting at base b+i (stream is a pure function
+        of the global sample id)."""
+        key = jax.random.key(7)
+        a = np.asarray(code_capacity(key, 0, 0.2, 16, 33))
+        b = np.asarray(code_capacity(key, 5, 0.2, 11, 33))
+        assert np.array_equal(a[5:], b)
 
     def test_syndrome_matches_numpy(self, rng):
         code = get_code("[[72, 12, 6]]")
