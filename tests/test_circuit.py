@@ -91,6 +91,102 @@ class TestCircuitToDEM:
             assert dem.priors[j] == pytest.approx(agg4)
 
 
+class TestForwardOracle:
+    """Exact cross-validation of the backward sensitivity pass against an
+    independent per-fault FORWARD Pauli-frame propagator
+    (tests/forward_dem_oracle.py). Any wrong conjugation rule in
+    circuit.py:149-190 shows up as a signature or prior mismatch here —
+    the two passes share no code and walk the circuit in opposite
+    directions (VERDICT round-2 item 2)."""
+
+    @staticmethod
+    def _backward_mech(circ):
+        from qldpc_tpu.noise.circuit import _fault_signatures
+
+        mech = {}
+
+        def emit(sig, p):
+            if sig == 0 or p <= 0.0:
+                return
+            q = mech.get(sig, 0.0)
+            mech[sig] = q * (1.0 - p) + p * (1.0 - q)
+
+        _fault_signatures(circ, emit)
+        return mech
+
+    @staticmethod
+    def _assert_dems_equal(circ):
+        from forward_dem_oracle import forward_dem
+
+        fwd = forward_dem(circ)
+        bwd = TestForwardOracle._backward_mech(circ)
+        only_fwd = set(fwd) - set(bwd)
+        only_bwd = set(bwd) - set(fwd)
+        assert not only_fwd and not only_bwd, (
+            f"signature sets differ: {len(only_fwd)} forward-only, "
+            f"{len(only_bwd)} backward-only "
+            f"(of {len(fwd)}/{len(bwd)} total)"
+        )
+        for sig, p in fwd.items():
+            assert abs(bwd[sig] - p) < 1e-12, f"prior mismatch at {sig:b}"
+
+    @pytest.mark.parametrize("rounds", [2, 3])
+    @pytest.mark.parametrize("basis", ["z", "x"])
+    def test_steane_memory(self, rounds, basis):
+        code = get_code("steane")
+        circ = memory_experiment(
+            code, basis=basis, rounds=rounds, noise=DepolarizingNoise(0.004)
+        )
+        self._assert_dems_equal(circ)
+
+    def test_steane_nonuniform_noise(self):
+        """Distinct per-location strengths make merged priors sensitive to
+        WHICH elementary faults merged, not just how many."""
+        code = get_code("steane")
+        circ = memory_experiment(
+            code,
+            rounds=2,
+            noise=DepolarizingNoise(
+                0.003,
+                after_clifford1=0.001,
+                after_clifford2=0.007,
+                before_measure=0.011,
+                after_reset=0.002,
+            ),
+        )
+        self._assert_dems_equal(circ)
+
+    def test_bb_72_memory(self):
+        """The reference's flagship circuit-level code at 2 rounds
+        (studyComplete.py:72-84 semantics), ~27k elementary faults."""
+        code = get_code("[[72, 12, 6]]")
+        circ = memory_experiment(
+            code, rounds=2, noise=DepolarizingNoise(0.002)
+        )
+        self._assert_dems_equal(circ)
+
+    def test_matches_public_dem_matrices(self):
+        """End-to-end: rebuild (H, L, priors) from the forward table and
+        compare with circuit_to_dem's public output column-for-column."""
+        from forward_dem_oracle import forward_dem
+
+        code = get_code("steane")
+        circ = memory_experiment(
+            code, rounds=2, noise=DepolarizingNoise(0.005)
+        )
+        dem = circuit_to_dem(circ)
+        fwd = forward_dem(circ)
+        n_det = dem.H.shape[0]
+        sigs = sorted(fwd)  # circuit_to_dem's deterministic column order
+        assert len(sigs) == dem.H.shape[1]
+        for col, sig in enumerate(sigs):
+            h_col = [(sig >> k) & 1 for k in range(n_det)]
+            l_col = [(sig >> (n_det + k)) & 1 for k in range(dem.L.shape[0])]
+            assert np.array_equal(dem.H[:, col], h_col)
+            assert np.array_equal(dem.L[:, col], l_col)
+            assert abs(dem.priors[col] - fwd[sig]) < 1e-12
+
+
 class TestMemoryExperiment:
     def test_noiseless_dem_is_empty(self):
         code = get_code("steane")
