@@ -34,7 +34,13 @@ import numpy as np
 BASELINE_SYNDROMES_PER_S = 1.0e6
 
 
-def _measure(backend: str, batch: int, reps: int, force_cpu: bool = False) -> float:
+def _measure(
+    backend: str,
+    batch: int,
+    reps: int,
+    force_cpu: bool = False,
+    fixed_iterations: bool = False,
+) -> float:
     import qldpc_tpu
 
     qldpc_tpu.enable_compilation_cache()
@@ -55,13 +61,39 @@ def _measure(backend: str, batch: int, reps: int, force_cpu: bool = False) -> fl
         # bt=128 is the measured-best tile at p=0.01 (results/autotune_tile.json:
         # small tiles let the whole-tile early exit fire sooner at low p)
         dec = BPDecoder(H, BPConfig(max_iter=50, backend="pallas", batch_tile=128))
+        if fixed_iterations:
+            # raw-kernel figure: whole-tile early exit disabled, every lane
+            # pays all 50 iterations (per-lane freeze still applies, so
+            # outputs are identical) — decomposes the headline into
+            # "workload throughput" vs "kernel throughput"
+            from qldpc_tpu.decoders.bp import BPResult
+            from qldpc_tpu.ops.bp_pallas import PallasBPKernel
+
+            kernel = PallasBPKernel(
+                dec.graph, max_iter=50, batch_tile=128, early_exit=False
+            )
+
+            def decode_fn(s, prior_):
+                values, conv, iters = kernel(s, prior_)
+                return BPResult(
+                    hard=(values < 0).astype(jnp.int8),
+                    converged=conv,
+                    llrs=values,
+                    iterations=iters,
+                )
+        else:
+            decode_fn = dec.decode_fn
     else:
-        dec = BPDecoder(H, BPConfig(max_iter=50, chunk_size=10))
+        cfg = BPConfig(max_iter=50) if fixed_iterations else BPConfig(
+            max_iter=50, chunk_size=10
+        )
+        dec = BPDecoder(H, cfg)
+        decode_fn = dec.decode_fn
     prior = jnp.full((code.n,), float(np.log((1 - p) / p)), jnp.float32)
 
     @jax.jit
     def step(acc, s):
-        res = dec.decode_fn(s, prior)
+        res = decode_fn(s, prior)
         # scalar digest chained on device; the final readback forces every
         # rep to have completed (single round trip for the whole run)
         return (
@@ -70,17 +102,21 @@ def _measure(backend: str, batch: int, reps: int, force_cpu: bool = False) -> fl
             + res.iterations.sum().astype(jnp.int32)
         )
 
+    # fresh syndromes per rep: every timed dispatch decodes a distinct
+    # batch, so the early-exit pattern cannot repeat across reps
     rng = np.random.default_rng(0)
-    errors = (rng.random((batch, code.n)) < p).astype(np.int8)
-    syndromes = jax.device_put(jnp.asarray((errors @ H.T) % 2))
+    batches = []
+    for _ in range(reps + 1):
+        errors = (rng.random((batch, code.n)) < p).astype(np.int8)
+        batches.append(jax.device_put(jnp.asarray((errors @ H.T) % 2)))
 
-    acc = step(jnp.int32(0), syndromes)  # warmup/compile
+    acc = step(jnp.int32(0), batches[-1])  # warmup/compile (its own batch)
     assert int(acc) > 0.9 * batch, "decoder sanity check failed"
 
     t0 = time.perf_counter()
     acc = jnp.int32(0)
-    for _ in range(reps):
-        acc = step(acc, syndromes)
+    for r in range(reps):
+        acc = step(acc, batches[r])
     int(acc)  # single readback inside the timed region
     dt = time.perf_counter() - t0
     return batch * reps / dt
@@ -106,8 +142,9 @@ def main() -> None:
             backend=os.environ.get("BENCH_BACKEND", "pallas"),
             batch=int(os.environ.get("BENCH_BATCH", 262144)),
             reps=int(os.environ.get("BENCH_REPS", 4)),
+            fixed_iterations=bool(os.environ.get("BENCH_FIXED_ITER")),
         )
-        _emit(value)
+        _emit(value, "_fixed50" if os.environ.get("BENCH_FIXED_ITER") else "")
         return
 
     if "--fallback-inline" in sys.argv or os.environ.get("BENCH_FORCE_FALLBACK"):

@@ -265,7 +265,13 @@ class BPDecoder:
         R = self._check_messages(carry.Q, syndrome_sign, alpha)
 
         rv = self._gather_var(R, phantom=jnp.asarray(0.0, self._dtype))
-        values = jnp.sum(rv, axis=-1) + priors  # (B, n)
+        # sequential left-fold (not jnp.sum): pins the fp accumulation
+        # order so the streamed DEM kernel (ops/dem_bp_pallas.py) can
+        # reproduce these values bit-for-bit with its own sequential fold
+        values = rv[..., 0]
+        for j in range(1, rv.shape[-1]):
+            values = values + rv[..., j]
+        values = values + priors  # (B, n)
         Q_new = values[:, self._var_of_edge] - R
         if cfg.damping != 1.0:
             Q_new = cfg.damping * Q_new + (1.0 - cfg.damping) * carry.Q_old
@@ -498,16 +504,27 @@ class BPDecoder:
 
         cfg = self.config
         g = self.graph
-        # the kernel keeps its one-hot (E', n) tables in VMEM; very large
-        # graphs (big space-time / DEM matrices) exceed the ~16 MB budget —
-        # fall back to the XLA scan path rather than failing at compile time
+        # two kernel families: check-regular graphs use the fused
+        # VMEM-resident kernel (one-hot MXU tables); irregular graphs (DEM /
+        # materialized space-time matrices, any size) use the streamed
+        # slot-space kernel (ops/dem_bp_pallas.py), whose semantics are
+        # pinned to the XLA slot path. Configs neither supports (layered
+        # on irregular, damping on irregular, any graph whose fused tables
+        # exceed the VMEM budget) fall back to XLA with a warning.
         table_bytes = 2 * (g.dc_max * g.m) * g.n * 4
-        if table_bytes > 6 * 1024 * 1024:
+        if self._slot_layout or table_bytes > 6 * 1024 * 1024:
+            if (
+                self._slot_layout
+                and cfg.schedule != "layered"
+                and cfg.damping == 1.0
+            ):
+                return self._build_dem_pallas()
             import warnings
 
             warnings.warn(
-                f"pallas BP tables would need {table_bytes/2**20:.1f} MiB "
-                "VMEM; falling back to the XLA backend for this graph",
+                "pallas BP on this graph/config is unsupported (fused tables "
+                f"{table_bytes / 2**20:.1f} MiB, layered or damped on an "
+                "irregular graph); falling back to the XLA backend",
                 stacklevel=3,
             )
             if cfg.schedule == "layered":
@@ -530,6 +547,40 @@ class BPDecoder:
         def decode(
             syndromes: jax.Array, priors: jax.Array, alpha=None
         ) -> BPResult:
+            if alpha is not None:
+                raise ValueError(
+                    "the pallas backend bakes alpha statically; use the xla "
+                    "backend for traced-alpha sweeps"
+                )
+            values, conv, iters = kernel(syndromes, priors)
+            return BPResult(
+                hard=(values < 0).astype(jnp.int8),
+                converged=conv,
+                llrs=values,
+                iterations=iters,
+            )
+
+        return decode
+
+    def _build_dem_pallas(self):
+        """Streamed kernel path for DEM-scale irregular graphs
+        (qldpc_tpu.ops.dem_bp_pallas): XLA row gathers in a transposed
+        batch-minor layout + one fused Pallas pass per side."""
+        from qldpc_tpu.ops.dem_bp_pallas import DEMPallasBPKernel
+
+        cfg = self.config
+        kernel = DEMPallasBPKernel(
+            self.graph,
+            max_iter=cfg.max_iter,
+            method=cfg.method,
+            alpha=cfg.alpha,
+            offset=cfg.offset,
+            clip_llr=cfg.clip_llr,
+            chunk_size=cfg.chunk_size,
+            interpret=jax.default_backend() == "cpu",
+        )
+
+        def decode(syndromes: jax.Array, priors: jax.Array, alpha=None) -> BPResult:
             if alpha is not None:
                 raise ValueError(
                     "the pallas backend bakes alpha statically; use the xla "

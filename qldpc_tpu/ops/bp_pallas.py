@@ -279,6 +279,7 @@ def _bp_kernel(
     offset: float,
     damping: float,
     clip_llr: float | None,
+    early_exit: bool = True,
 ):
     Ep = dc * m
     ssign = 1.0 - 2.0 * syn_ref[:]  # (m, BT)
@@ -295,8 +296,7 @@ def _bp_kernel(
     done_ref[0] = 0
 
     def iteration(it, _):
-        @pl.when(done_ref[0] == 0)
-        def _():
+        def body():
             # ---- check update: leave-one-out over dc static slot planes ----
             if method == "sum-product":
                 t = [jnp.tanh(q_ref[i] * 0.5) for i in range(dc)]
@@ -373,8 +373,15 @@ def _bp_kernel(
             )
             conv_now = jnp.maximum(conv_prev, ok)
             conv_ref[:] = conv_now
-            done_ref[0] = jnp.min(conv_now).astype(jnp.int32)
+            if early_exit:
+                done_ref[0] = jnp.min(conv_now).astype(jnp.int32)
 
+        if early_exit:
+            pl.when(done_ref[0] == 0)(body)
+        else:
+            # fixed-trip mode (bench raw-kernel figure): per-lane freeze
+            # keeps the outputs identical; only the whole-tile skip is off
+            body()
         return 0
 
     jax.lax.fori_loop(0, max_iter, iteration, 0)
@@ -402,6 +409,7 @@ class PallasBPKernel:
         schedule: str = "flooding",
         n_layers: int = 0,
         interpret: bool = False,
+        early_exit: bool = True,
     ):
         self.graph = graph
         self.batch_tile = batch_tile
@@ -443,6 +451,7 @@ class PallasBPKernel:
                 offset=offset,
                 damping=damping,
                 clip_llr=clip_llr,
+                early_exit=early_exit,
             )
 
         # pallas_call grids are static; built lazily per batch size

@@ -29,6 +29,30 @@ def test_pallas_matches_xla(rng, method):
     assert np.array_equal(np.asarray(xla.hard), np.asarray(pal.hard))
 
 
+def test_pallas_fixed_trip_matches_early_exit(rng):
+    """early_exit=False (the bench raw-kernel mode) only disables the
+    whole-tile skip; the per-lane freeze keeps every output bit-identical."""
+    import jax
+
+    from qldpc_tpu.ops.bp_pallas import PallasBPKernel
+
+    code = get_code("steane")
+    H = code.Hx
+    syn = sample(rng, H, 0.08, batch=128)
+    prior = np.full(7, np.log(0.92 / 0.08), np.float32)
+    dec = BPDecoder(H, BPConfig(max_iter=16))
+    interp = jax.default_backend() == "cpu"
+    out = [
+        PallasBPKernel(
+            dec.graph, max_iter=16, batch_tile=128, interpret=interp,
+            early_exit=ee,
+        )(syn, prior)
+        for ee in (True, False)
+    ]
+    for a, b in zip(out[0], out[1]):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pallas_damped_clipped(rng):
     code = get_code("steane")
     H = code.Hx
@@ -100,16 +124,31 @@ def test_pallas_ragged_batch(rng):
     assert np.array_equal(np.asarray(xla.hard), np.asarray(pal.hard))
 
 
-def test_pallas_falls_back_on_large_graph(rng):
-    """Graphs whose one-hot tables exceed the VMEM budget must warn and use
-    the XLA path instead of failing at compile time."""
+def test_pallas_large_irregular_routes_to_dem_kernel(rng):
+    """Graphs whose one-hot tables exceed the VMEM budget route to the
+    streamed DEM kernel (round 3) — decisions must match the XLA path."""
+    code = get_code("[[144, 12, 12]]")
+    Hst = space_time_matrix(code.Hx, 12)  # (864, 2592): fused tables ~70 MiB
+    syn = sample(rng, Hst, 0.001, batch=16)
+    prior = np.full(Hst.shape[1], np.log(0.999 / 0.001), np.float32)
+    pal = BPDecoder(Hst, BPConfig(max_iter=5, backend="pallas"))(syn, prior)
+    xla = BPDecoder(Hst, BPConfig(max_iter=5))(syn, prior)
+    assert np.array_equal(np.asarray(xla.converged), np.asarray(pal.converged))
+    assert np.array_equal(np.asarray(xla.hard), np.asarray(pal.hard))
+
+
+def test_pallas_falls_back_on_unsupported_config(rng):
+    """Damping on an irregular graph has no kernel — must warn and use the
+    XLA path instead of failing at compile time."""
     import warnings
 
     code = get_code("[[144, 12, 12]]")
-    Hst = space_time_matrix(code.Hx, 12)  # (864, 2592): tables ~70 MiB
+    Hst = space_time_matrix(code.Hx, 12)
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        dec = BPDecoder(Hst, BPConfig(max_iter=5, backend="pallas"))
+        dec = BPDecoder(
+            Hst, BPConfig(max_iter=5, backend="pallas", damping=0.7)
+        )
         assert any("falling back" in str(x.message) for x in w)
     syn = sample(rng, Hst, 0.001, batch=8)
     prior = np.full(Hst.shape[1], np.log(0.999 / 0.001), np.float32)
