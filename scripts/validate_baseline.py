@@ -101,6 +101,29 @@ REWORK_REF = {
 }
 REWORK_REF_TRIALS = 10_000
 
+# BASELINE.md §6: phenomenological (data errors + syndrome flips at the
+# same rate, decoded on the plain H), BP-only, 100 trials — the reference's
+# commented-out model at studies/study.py:58-60, archived in
+# data/PH-LERS-BP.npz (ler == BPs_fault/100: a BP failure counts as a
+# logical error, the same bp-only semantics as §2)
+PH_REF = {
+    "[[72, 12, 6]]": dict(enumerate([0.01, 0.03, 0.09, 0.13, 0.19, 0.4, 0.54, 0.87])),
+    "[[90, 8, 10]]": dict(enumerate([0.02, 0.04, 0.12, 0.19, 0.25, 0.6, 0.7, 0.94])),
+    "[[108, 8, 10]]": dict(enumerate([0.03, 0.07, 0.1, 0.2, 0.27, 0.57, 0.77, 0.91])),
+    "[[144, 12, 12]]": dict(enumerate([0.08, 0.07, 0.1, 0.31, 0.35, 0.69, 0.89, 1.0])),
+    "[[288, 12, 18]]": dict(enumerate([0.12, 0.22, 0.35, 0.51, 0.71, 0.93, 0.99, 1.0])),
+}
+PH_REF_TRIALS = 100
+
+# Round-2 verdict's two contested rework cells ([[288]] p=0.04 sides with
+# the reference's own 10k companion archive, which disagrees with its
+# sibling by 3x; [[144]] p=0.06 was 4% off) — re-run at 100k trials:
+#   python scripts/validate_baseline.py --workloads rework-contested --trials 100000
+REWORK_CONTESTED_REF = {
+    "[[144, 12, 12]]": {2: 0.1432},
+    "[[288, 12, 18]]": {0: 0.0022},
+}
+
 
 def bars(p_ref, n_ref, p_got, n_got, sigmas=3.0, rel=0.0):
     """Two-sample binomial comparison tolerance.
@@ -148,6 +171,15 @@ WORKLOADS = {
         bp=dict(max_iter=50), osd=OSDConfig(order=7), channel="code-capacity",
         rel=0.05,
     ),
+    "phenomenological": dict(
+        ref=PH_REF, ref_trials=PH_REF_TRIALS, grid=P_GRID,
+        bp=dict(max_iter=50), osd=None, channel="phenomenological", rel=0.0,
+    ),
+    "rework-contested": dict(
+        ref=REWORK_CONTESTED_REF, ref_trials=REWORK_REF_TRIALS,
+        grid=REWORK_GRID, bp=dict(max_iter=50), osd=OSDConfig(order=7),
+        channel="code-capacity", rel=0.05,
+    ),
 }
 
 
@@ -159,6 +191,8 @@ def run(trials, batch_size, out_dir, codes, workloads=None):
     for workload, w in WORKLOADS.items():
         if workloads and workload not in workloads:
             continue
+        if workloads is None and workload == "rework-contested":
+            continue  # subset of rework+osde7 — only run when asked (100k)
         for code_name in codes:
             if code_name not in w["ref"]:
                 continue
