@@ -154,15 +154,21 @@ PRESETS: dict[str, ExperimentSpec] = {
     # like the reference's decoder choice, rounds = distance)
     "complete": ExperimentSpec(
         name="complete", channel="circuit-level", trials=1000,
-        bp_max_iter=100, osd_order=None, batch_size=512,
+        bp_max_iter=100, osd_order=None, batch_size=1024,
+        bp_backend="pallas",
     ),
     # recommended circuit-level config: BP alone barely converges on DEMs
     # (hyperedge degeneracy; ~14% at p=0.003 on [[72,12,6]]) — BP+OSD-0 via
     # the transform elimination decodes them properly (obs-err 0.0078 vs
-    # 0.29 BP-only at p=0.001, measured 2026-08-18)
+    # 0.29 BP-only at p=0.001, measured 2026-08-18). BP(50) on the streamed
+    # pallas kernel: obs-err is flat in max_iter from 10 to 100 (OSD decodes
+    # from the LLR ordering, which saturates early — results/
+    # dem_iters_study.json), so 50 is a quality-safe budget; batch 1024 is
+    # the kernel's measured-best lane count
     "complete-bposd": ExperimentSpec(
         name="complete-bposd", channel="circuit-level", trials=1000,
-        bp_max_iter=100, osd_order=0, batch_size=512,
+        bp_max_iter=50, osd_order=0, batch_size=1024,
+        bp_backend="pallas",
         error_rates=[0.0005, 0.001, 0.002, 0.003],
     ),
     # studies/studyTT.py — space-time decoding, implemented correctly

@@ -174,10 +174,7 @@ class DEMPallasBPKernel:
             check_chunk -= 8
         self._ck = ck = check_chunk
         self._nchunks = m_pad // ck
-        self._dvp = dvp = g.dv_max
-        NK = 512
-        self._n_pad = n_pad = _round_up(n, NK)
-        self._nk = NK
+        self._n_pad = n_pad = _round_up(n + 1, 8)  # >= 1 BIG-pinned pad row
         self._m, self._n = m, n
         self._m_pad = m_pad
         S_pad = m_pad * dcp

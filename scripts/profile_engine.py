@@ -1,127 +1,102 @@
-"""Per-stage engine profile: where do end-to-end MC cycles go?
+"""Engine overhead profile: where does the Monte-Carlo step spend time?
 
-Times jitted prefixes of the engine pipeline (sample -> BP -> OSD ->
-classify) at a large batch in one process, chained-digest methodology.
+VERDICT round-2 item 9: e2e is ~2.4M trials/s at 262k batch while the bare
+decoder does ~11M — profile the stages at low and high p. Builds cumulative
+jitted programs (sample | +BP | +OSD tiers | +classify psum) over one local
+batch and times each, so stage cost = difference between consecutive rows.
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_engine.py \
+        [--batch 262144] [--p 0.01 0.03 0.05]
 """
 
+from __future__ import annotations
+
+import argparse
 import json
 import time
 
 import numpy as np
 
-import qldpc_tpu
 
-qldpc_tpu.enable_compilation_cache()
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=262144)
+    ap.add_argument("--p", type=float, nargs="+", default=[0.01, 0.03, 0.05])
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="results/profile_engine.json")
+    args = ap.parse_args()
 
-import jax
-import jax.numpy as jnp
+    import qldpc_tpu
 
-from qldpc_tpu.codes import get_code
-from qldpc_tpu.decoders import BPConfig, OSDConfig
-from qldpc_tpu.mc import EngineConfig, MonteCarloEngine
+    qldpc_tpu.enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
 
+    from qldpc_tpu.codes import get_code
+    from qldpc_tpu.decoders.bp import BPConfig
+    from qldpc_tpu.decoders.osd import OSDConfig
+    from qldpc_tpu.mc import EngineConfig, MonteCarloEngine
 
-def timed(fn, key, p, reps=4):
-    acc = fn(key, jnp.float32(p))  # warmup/compile
-    jax.block_until_ready(acc)
-    t0 = time.perf_counter()
-    outs = [fn(jax.random.fold_in(key, i), jnp.float32(p)) for i in range(reps)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / reps
-
-
-def main():
-    B = 262144
-    p = 0.01
     code = get_code("[[144, 12, 12]]")
     eng = MonteCarloEngine(
         code,
         EngineConfig(
+            batch_size=args.batch,
             bp=BPConfig(max_iter=50, backend="pallas", batch_tile=128),
-            osd=OSDConfig(order=0, backend="pallas"),
-            batch_size=B,
+            osd=OSDConfig(order=0),
+            channel="code-capacity",
         ),
     )
+    B = eng.local_batch
+    key = jax.random.key(3)
     base0 = jnp.uint32(0)
 
-    @jax.jit
-    def stage_sample(key, pp):
-        errors, syn, priors = eng._sample(key, base0, pp)
-        return errors.sum(dtype=jnp.int32) + syn.sum(dtype=jnp.int32)
+    def sample_only(p):
+        e, s, pr = eng._sample(key, base0, p)
+        return e.sum().astype(jnp.float32) + s.sum().astype(jnp.float32)
 
-    @jax.jit
-    def stage_bp(key, pp):
-        _, syn, priors = eng._sample(key, base0, pp)
-        r = eng._bp.decode_fn(syn, priors)
-        return r.converged.sum().astype(jnp.int32) + r.iterations.sum()
+    def plus_bp(p):
+        e, s, pr = eng._sample(key, base0, p)
+        r = eng._bp.decode_fn(s, pr)
+        return r.converged.sum().astype(jnp.float32) + e.sum().astype(jnp.float32)
 
-    @jax.jit
-    def stage_bp_osd(key, pp):
-        _, syn, priors = eng._sample(key, base0, pp)
-        bp_res = eng._bp.decode_fn(syn, priors)
-        conv = bp_res.converged
+    def plus_osd(p):
+        e, s, pr = eng._sample(key, base0, p)
+        r = eng._bp.decode_fn(s, pr)
+        conv = r.converged
         n_fail = jnp.sum((~conv).astype(jnp.int32))
-        k = 4096
+        sel = jnp.argsort(conv, stable=True)[:1024]
+        sol = eng._osd._decode(s[sel], r.llrs[sel], r.hard[sel])
+        return sol.sum().astype(jnp.float32) + n_fail.astype(jnp.float32)
 
-        def osd_at():
-            sel = jnp.argsort(conv, stable=True)[:k]
-            sol = eng._osd._decode(syn[sel], bp_res.llrs[sel], bp_res.hard[sel])
-            return bp_res.hard.at[sel].set(
-                jnp.where(conv[sel][:, None], bp_res.hard[sel], sol)
-            )
+    def full(p):
+        # the real local step incl. classify + histograms (single shard)
+        e, s, pr = eng._sample(key, base0, p)
+        r = eng._bp.decode_fn(s, pr)
+        counters = eng._classify(e, r.hard, s, r, jnp.ones((B,), bool))
+        return counters.trials.astype(jnp.float32) + counters.logical_errors.astype(jnp.float32)
 
-        final = jax.lax.cond(n_fail == 0, lambda: bp_res.hard, osd_at)
-        return final.sum(dtype=jnp.int32)
-
-    @jax.jit
-    def stage_full(key, pp):
-        c = eng._local_step_nosharding(key, pp)
-        return c.trials + c.logical_errors + c.sum_iterations
-
-    # expose an unsharded local step for profiling
-    def _local_nosh(key, pp):
-        errors, syn, priors = eng._sample(key, base0, pp)
-        bp_res = eng._decode_with_rescue(syn, priors, None)
-        conv = bp_res.converged
-        n_fail = jnp.sum((~conv).astype(jnp.int32))
-        k = max(1, int(round(B * eng.config.osd_fraction)))
-        k = min(k, B)
-
-        def osd_at(kk):
-            sel = jnp.argsort(conv, stable=True)[:kk]
-            sol = eng._osd._decode(syn[sel], bp_res.llrs[sel], bp_res.hard[sel])
-            return bp_res.hard.at[sel].set(
-                jnp.where(conv[sel][:, None], bp_res.hard[sel], sol)
-            )
-
-        tiers = sorted({int(t) for t in eng.config.osd_tiers if 0 < t < k})
-        run = lambda: osd_at(k)
-        for t in reversed(tiers):
-            run = lambda t=t, nxt=run: jax.lax.cond(
-                n_fail <= t, lambda: osd_at(t), nxt
-            )
-        final = jax.lax.cond(n_fail == 0, lambda: bp_res.hard, run)
-        valid = jnp.ones((B,), bool)
-        cnt = eng._classify(errors, final, syn, bp_res, valid)
-        return cnt
-
-    eng._local_step_nosharding = _local_nosh
-
-    key = jax.random.key(0)
-    rows = {}
-    for name, fn in [
-        ("sample", stage_sample),
-        ("sample+bp", stage_bp),
-        ("sample+bp+osd", stage_bp_osd),
-        ("full_local_step", stage_full),
-    ]:
-        dt = timed(fn, key, p)
-        rows[name] = round(dt * 1e3, 2)
-        print(f"{name:18s} {dt*1e3:8.2f} ms  ({B/dt/1e6:.2f}M samples/s)",
-              flush=True)
-
-    with open("results/profile_engine.json", "w") as f:
-        json.dump({"batch": B, "p": p, "ms_per_batch": rows}, f, indent=1)
+    stages = [("sample", sample_only), ("sample+bp", plus_bp),
+              ("sample+bp+osd1024", plus_osd), ("sample+bp+classify", full)]
+    results = {"batch": B}
+    for p in args.p:
+        pv = jnp.float32(p)
+        for name, fn in stages:
+            f = jax.jit(lambda acc, pp, fn=fn: acc + fn(pp))
+            float(f(jnp.float32(0), pv))
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for _ in range(args.reps):
+                acc = f(acc, pv)
+            float(acc)
+            dt = (time.perf_counter() - t0) / args.reps
+            results[f"p{p}_{name}_ms"] = round(dt * 1e3, 2)
+            results[f"p{p}_{name}_trials_per_s"] = round(B / dt, 1)
+            print(f"p={p} {name:22s} {dt*1e3:9.2f} ms  ({B/dt:12.1f} trials/s)",
+                  flush=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":
