@@ -38,6 +38,7 @@ vmapped over the sample batch. The combination search is a single
 from __future__ import annotations
 
 import dataclasses
+import functools
 from itertools import combinations
 
 import jax
@@ -104,8 +105,9 @@ class OSDDecoder:
         H = (np.asarray(H) % 2).astype(np.uint8)
         self.m, self.n = H.shape
         self.n_words = -(-self.n // _WORD)
-        self._H = jnp.asarray(H)
-        self._Hf = jnp.asarray(H, jnp.float32)  # for MXU residual matmul
+        self._H_np = H  # dense device copies are built lazily (wide
+        # systems never materialize them — a [[144,12,12]] DEM H is 463 MB
+        # as f32 and would also overflow the remote-compile request)
         # GF(2) rank of H: column permutations preserve it, so once every
         # lane's elimination has found `rank(H)` pivots the remaining column
         # steps are provable no-ops (a step only mutates state when it finds
@@ -115,6 +117,12 @@ class OSDDecoder:
         from qldpc_tpu import native as _native
 
         self._H_rank = int(_native.rank(H))
+        # gather-parity tables for the residual syndrome (see parity_tables)
+        from qldpc_tpu.ops.tanner import parity_tables
+
+        vos_p, dcp_p = parity_tables(H)
+        self._vos_parity = jnp.asarray(vos_p)
+        self._dcp_parity = dcp_p
         # Wide systems (n >> m, e.g. circuit-level DEMs: 432 x 15765) use
         # the TRANSFORM elimination: instead of row-reducing the full packed
         # (m, n_words) system — whose per-column row ops sweep 493-word rows
@@ -152,11 +160,30 @@ class OSDDecoder:
             self._patterns = None
         self.backend = config.backend
         if self.backend == "auto":
-            # pallas pays off when a (m, nw, batch_tile) tile (x2 for the
-            # in/out pair) + b + piv sits comfortably in VMEM
-            tile_bytes = self.m * (self.n_words * 2 + 4) * config.batch_tile * 4
             on_tpu = jax.default_backend() == "tpu"
-            self.backend = "pallas" if on_tpu and tile_bytes <= 8e6 else "lanes"
+            if self._use_transform:
+                # wide systems: the transform kernel keeps a 128-lane tile
+                # of T VMEM-resident (m * m_words * 128 * 4 bytes — 3.1 MB
+                # for a 432-detector DEM); always profitable on TPU
+                self.backend = "pallas" if on_tpu else "lanes"
+            else:
+                # pallas pays off when a (m, nw, batch_tile) tile (x2 for
+                # the in/out pair) + b + piv sits comfortably in VMEM
+                tile_bytes = (
+                    self.m * (self.n_words * 2 + 4) * config.batch_tile * 4
+                )
+                self.backend = (
+                    "pallas" if on_tpu and tile_bytes <= 8e6 else "lanes"
+                )
+        # dense device copies of H, for the paths that need them. The wide
+        # transform path never touches them; skip only when the matrix is
+        # genuinely huge (a [[144,12,12]] DEM is 463 MB as f32) so every
+        # configuration of moderate systems keeps working
+        if self.m * self.n <= 8_000_000 or not (
+            self._use_transform and self.backend in ("lanes", "pallas")
+        ):
+            self._H = jnp.asarray(H)
+            self._Hf = jnp.asarray(H, jnp.float32)  # MXU residual matmul
         if self.backend in ("lanes", "pallas"):
             self._decode = jax.jit(
                 self._osd0_lanes if config.order == 0 else self._osde_lanes
@@ -419,7 +446,8 @@ class OSDDecoder:
         )
         return A, b, rank, piv_col
 
-    def _eliminate_lanes_T(self, order: jax.Array, b: jax.Array):
+    def _eliminate_lanes_T(self, order: jax.Array, b: jax.Array,
+                           b_exit: bool = False):
         """Transform-based masked RREF for wide systems, batch in lanes.
 
         ``order`` (B, n) per-sample column permutation, ``b`` (m, B) uint32
@@ -484,10 +512,22 @@ class OSDDecoder:
 
         piv0 = jnp.full((m, B), -1, jnp.int32)
         blk = 32
+        lane_rows = jnp.arange(m)[:, None]
 
         def cond(state):
-            (_, _, rank, _), col = state
-            return (col < self.n) & (jnp.min(rank) < self._H_rank)
+            (_, bb, rank, _), col = state
+            lane_done = rank >= self._H_rank
+            if b_exit:
+                # OSD-0 shortcut (exact — see ops/osd_transform_pallas.py):
+                # no unresolved syndrome bit => future pivots carry b = 0
+                unres = jnp.max(
+                    jnp.where(
+                        lane_rows >= rank[None, :], bb.astype(jnp.int32), 0
+                    ),
+                    axis=0,
+                )
+                lane_done = lane_done | (unres == 0)
+            return (col < self.n) & ~jnp.all(lane_done)
 
         def body(state):
             inner, col = state
@@ -502,6 +542,44 @@ class OSDDecoder:
             ((T, b, jnp.zeros((B,), jnp.int32), piv0), jnp.int32(0)),
         )
         return T, b, rank, piv_col
+
+    def _eliminate_lanes_T_pallas(self, order: jax.Array, b: jax.Array,
+                                  b_exit: bool = False):
+        """VMEM-resident transform elimination
+        (ops/osd_transform_pallas.py): a 128-lane tile of T stays on-chip
+        for the whole elimination while XLA pre-gathers each lane's
+        permuted packed columns as word-planes. Bit-identical to
+        ``_eliminate_lanes_T``; ~35x faster on the 432 x 15765 circuit DEM
+        on v5e (results/bench_osde_wide.json)."""
+        from qldpc_tpu.ops.osd_transform_pallas import (
+            eliminate_transform_pallas,
+        )
+
+        B = b.shape[-1]
+        bt = 128
+        cc = 128
+        padb = (-B) % bt
+        if padb:
+            order = jnp.pad(order, ((0, padb), (0, 0)))
+            b = jnp.pad(b, ((0, 0), (0, padb)))
+        n_pad = -(-self.n // cc) * cc
+        # per-lane permuted packed columns, word-planes-major so the minor
+        # dim stays the lane axis (no transposes): (m_words, n_pad, B')
+        hcp = self._Hc.T[:, order.T]  # (m_words, n, B')
+        hcp = jnp.pad(hcp, ((0, 0), (0, n_pad - self.n), (0, 0)))
+        T, bb, rank, piv = eliminate_transform_pallas(
+            hcp,
+            b,
+            self._T0,
+            n=self.n,
+            h_rank=self._H_rank,
+            b_exit=b_exit,
+            col_chunk=cc,
+            batch_tile=bt,
+            interpret=jax.default_backend() != "tpu",
+        )
+        sl = lambda x: x[..., :B] if padb else x
+        return sl(T), sl(bb), sl(rank[0]), sl(piv)
 
     def _eliminate_pallas_padded(self, A: jax.Array, b: jax.Array):
         """VMEM-resident elimination kernel (ops/osd_pallas.py), padding the
@@ -546,18 +624,37 @@ class OSDDecoder:
         n = self.n
         B = syndromes.shape[0]
         hard = hard.astype(jnp.int32)
-        resid = (
-            syndromes.astype(jnp.int32)
-            + jnp.mod(
-                jnp.dot(hard.astype(jnp.float32), self._Hf.T), 2.0
-            ).astype(jnp.int32)
-        ) % 2
+        if self._use_transform:
+            # gather-parity residual: no dense H constant (463 MB f32 for a
+            # [[144,12,12]] DEM). Wide systems only — dc_pad is large there,
+            # clear of the Mosaic minor-dim-6 reduce bug (CLAUDE.md)
+            hp = jnp.pad(hard, ((0, 0), (0, 1)))
+            hs = hp[:, self._vos_parity].reshape(B, self.m, self._dcp_parity)
+            s_hat = jnp.sum(hs, axis=-1, dtype=jnp.int32) % 2
+            resid = (syndromes.astype(jnp.int32) + s_hat) % 2
+        else:
+            resid = (
+                syndromes.astype(jnp.int32)
+                + jnp.mod(
+                    jnp.dot(hard.astype(jnp.float32), self._Hf.T), 2.0
+                ).astype(jnp.int32)
+            ) % 2
 
         order = jnp.argsort(jnp.abs(llrs), axis=1, stable=True)  # (B, n)
         if self._use_transform:
-            A, bb, rank, piv_col = self._eliminate_lanes_T(
-                order, resid.T.astype(jnp.uint32)
-            )
+            # OSD-0 never reads T after elimination, so it may stop as soon
+            # as no unresolved syndrome bit remains (~100x fewer column
+            # steps at DEM scale); OSD-e's pattern search reads T and keeps
+            # the rank(H) exit
+            b_exit = self.config.order == 0
+            if self.backend == "pallas":
+                A, bb, rank, piv_col = self._eliminate_lanes_T_pallas(
+                    order, resid.T.astype(jnp.uint32), b_exit=b_exit
+                )
+            else:
+                A, bb, rank, piv_col = self._eliminate_lanes_T(
+                    order, resid.T.astype(jnp.uint32), b_exit=b_exit
+                )
         elif self.backend == "pallas":
             Hp = jnp.take(self._H, order, axis=1).transpose(1, 0, 2)
             A = self._pack_lanes(Hp)

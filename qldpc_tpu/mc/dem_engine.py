@@ -89,7 +89,14 @@ class DEMEngine(MonteCarloEngine):
                 dem.H, dataclasses.replace(config.bp, max_iter=config.rescue_iters)
             )
         self._osd = OSDDecoder(dem.H, config.osd) if config.osd is not None else None
-        self._Hf = jnp.asarray(dem.H, jnp.float32)
+        # no dense H device constant: DEM syndromes use gather-parity (a
+        # [[144,12,12]] DEM H as f32 is 463 MB — it blows both HBM and the
+        # remote-compile request size)
+        from qldpc_tpu.ops.tanner import parity_tables
+
+        vos_p, dcp_p = parity_tables(dem.H)
+        self._vos_parity = jnp.asarray(vos_p)
+        self._dcp_parity = dcp_p
         self._Lf = jnp.asarray(dem.L, jnp.float32)
         self._alpha_traceable = config.bp.backend != "pallas"
         # DEMs have the largest RNG strides (one uniform per mechanism), so
@@ -103,6 +110,13 @@ class DEMEngine(MonteCarloEngine):
             self._priors_prob = jnp.asarray(dem.priors, jnp.float32)
             self._priors_llr = jnp.asarray(dem.llrs, jnp.float32)
         self._batch_fn = self._build()
+
+    def _syndrome(self, errors):
+        """Gather-parity detector syndrome (no dense H matmul constant)."""
+        B = errors.shape[0]
+        ep = jnp.pad(errors.astype(jnp.int32), ((0, 0), (0, 1)))
+        es = ep[:, self._vos_parity].reshape(B, self.m_checks, self._dcp_parity)
+        return (jnp.sum(es, axis=-1, dtype=jnp.int32) % 2).astype(jnp.int8)
 
     def _priors(self, p):
         """Mechanism priors and LLRs. Static for a DEMData; for a

@@ -23,7 +23,29 @@ import dataclasses
 
 import numpy as np
 
-__all__ = ["TannerGraph"]
+__all__ = ["TannerGraph", "parity_tables"]
+
+
+def parity_tables(H: np.ndarray) -> tuple[np.ndarray, int]:
+    """Padded var-of-slot table for gather-parity syndromes.
+
+    Returns ``(vos (m * dc_pad,) int32, dc_pad)`` with phantom slots
+    pointing at column index ``n`` (callers append a zero column). Computing
+    ``s = parity over each check's slots of bits[vos]`` replaces the dense
+    ``bits @ H.T`` matmul — essential for wide systems (circuit DEMs:
+    a [[144,12,12]] H as an f32 constant is 463 MB, which both bloats HBM
+    and overflows the remote-compile request), and built fully vectorized
+    (no per-edge Python loop)."""
+    H = (np.asarray(H) % 2).astype(np.uint8)
+    m, n = H.shape
+    checks, vars_ = np.nonzero(H)  # row-major: sorted by check
+    dc = np.bincount(checks, minlength=m)
+    dc_pad = int(dc.max()) if vars_.size else 1
+    starts = np.concatenate([[0], np.cumsum(dc)[:-1]])
+    pos = np.arange(vars_.size) - np.repeat(starts, dc)
+    vos = np.full(m * dc_pad, n, np.int64)
+    vos[checks * dc_pad + pos] = vars_
+    return vos.astype(np.int32), dc_pad
 
 
 @dataclasses.dataclass(frozen=True)
