@@ -164,8 +164,14 @@ class OSDDecoder:
             if self._use_transform:
                 # wide systems: the transform kernel keeps a 128-lane tile
                 # of T VMEM-resident (m * m_words * 128 * 4 bytes — 3.1 MB
-                # for a 432-detector DEM); always profitable on TPU
-                self.backend = "pallas" if on_tpu else "lanes"
+                # for a 432-detector DEM). T grows as m^2/32: past ~6 MB
+                # ([[144,12,12]] DEMs: m=1728 -> 47.8 MB) it cannot fit and
+                # the XLA transform path (with the same unresolved-b early
+                # exit) takes over
+                t_tile = self.m * self.m_words * 128 * 4
+                self.backend = (
+                    "pallas" if on_tpu and t_tile <= 6e6 else "lanes"
+                )
             else:
                 # pallas pays off when a (m, nw, batch_tile) tile (x2 for
                 # the in/out pair) + b + piv sits comfortably in VMEM
@@ -554,6 +560,16 @@ class OSDDecoder:
         from qldpc_tpu.ops.osd_transform_pallas import (
             eliminate_transform_pallas,
         )
+
+        if self.m * self.m_words * 128 * 4 > 6e6:
+            import warnings
+
+            warnings.warn(
+                "transform-OSD pallas tile exceeds VMEM for this system; "
+                "using the XLA transform path",
+                stacklevel=2,
+            )
+            return self._eliminate_lanes_T(order, b, b_exit=b_exit)
 
         B = b.shape[-1]
         bt = 128
