@@ -180,19 +180,15 @@ class DEMPallasBPKernel:
         S_pad = m_pad * dcp
         self._S_pad = S_pad
 
-        # slot tables in the padded check-major layout: row c*dcp + j
+        # slot tables in the padded check-major layout: row c*dcp + j —
+        # vectorized (DEM graphs have 10^5-10^6 edges)
+        checks = g.check_of_edge.astype(np.int64)
+        dc = np.bincount(checks, minlength=m)
+        starts = np.concatenate([[0], np.cumsum(dc)[:-1]])
+        slot_in_check = np.arange(E) - np.repeat(starts, dc)
+        slot_of_edge = checks * dcp + slot_in_check
         vos = np.full(S_pad, n, np.int64)  # phantom -> BIG values row n
-        slot_of_edge = np.empty(E, np.int64)
-        for c in range(m):
-            row = np.flatnonzero(g.H[c])
-            vos[c * dcp: c * dcp + row.size] = row
-            # edges are (check, var) sorted, matching TannerGraph order
-        # map each edge id to its padded slot row
-        counts = np.zeros(m, np.int64)
-        for e in range(E):
-            c = g.check_of_edge[e]
-            slot_of_edge[e] = c * dcp + counts[c]
-            counts[c] += 1
+        vos[slot_of_edge] = g.var_of_edge
         mask = (vos != n).astype(np.float32)[:, None]
 
         # --- variable side: exact per-degree buckets --------------------------
@@ -202,23 +198,35 @@ class DEMPallasBPKernel:
         # an exact (n_d * d,) gather + a d-term sequential fold. The
         # relabeling is internal: vos speaks new labels, outputs are
         # unpermuted once per decode.
-        ve_lists: list[list[int]] = [[] for _ in range(n)]
-        for e in range(E):
-            ve_lists[g.var_of_edge[e]].append(int(slot_of_edge[e]))
-        dv = np.array([len(x) for x in ve_lists], np.int64)
+        dv = np.bincount(g.var_of_edge, minlength=n)
         order = np.argsort(dv, kind="stable")  # new index -> old var
         inv_order = np.empty(n, np.int64)
         inv_order[order] = np.arange(n)
 
+        # per-var slot lists, var-major and j-ordered (edge order within a
+        # var matches TannerGraph's check-major edge order) — vectorized:
+        # sort edges by var (stable), then group ranges
+        by_var = np.argsort(g.var_of_edge, kind="stable")
+        slots_by_var = slot_of_edge[by_var]  # concatenated per-var runs
+        v_starts = np.concatenate([[0], np.cumsum(dv)[:-1]])
+
         self._buckets = []  # (degree, count, ve_flat (count*d,) int32)
         start = 0
-        for d in sorted(set(dv.tolist())):
-            sel = order[dv[order] == d]
+        for d in np.unique(dv):
+            sel = order[dv[order] == d]  # vars of degree d, new-label order
             cnt = sel.size
-            vef = np.array(
-                [ve_lists[v] for v in sel], np.int64
-            ).reshape(-1)
-            self._buckets.append((int(d), cnt, jnp.asarray(vef, jnp.int32)))
+            if d == 0:
+                # detector-less mechanisms (observable-only faults) have
+                # empty H columns: their posterior is the bare prior
+                self._buckets.append((0, cnt, None))
+            else:
+                idx = (
+                    v_starts[sel][:, None] + np.arange(d)[None, :]
+                ).reshape(-1)
+                vef = slots_by_var[idx]
+                self._buckets.append(
+                    (int(d), cnt, jnp.asarray(vef, jnp.int32))
+                )
             start += cnt
         assert start == n
 
@@ -272,6 +280,9 @@ class DEMPallasBPKernel:
         var matches decoders/bp.py::_step bitwise)."""
         parts = []
         for d, cnt, vef in self._buckets:
+            if d == 0:
+                parts.append(jnp.zeros((cnt, bt), jnp.float32))
+                continue
             rv = r_new[vef, :].reshape(cnt, d, bt)
             acc = rv[:, 0, :]
             for j in range(1, d):

@@ -89,21 +89,23 @@ class TannerGraph:
         dc_max = int(dc.max()) if E else 1
         dv_max = int(dv.max()) if E else 1
 
+        # fully vectorized table builds (DEM graphs have 10^5-10^6 edges;
+        # per-edge Python loops cost seconds per engine build there).
+        # Edges are check-major, so within-check slot = e - first edge of
+        # its check; the var table uses the same trick on the var-stable
+        # edge ordering.
         check_edge = np.full((m, dc_max), E, dtype=np.int32)
-        slot_in_check = np.zeros(E, dtype=np.int32)
-        fill = np.zeros(m, dtype=np.int32)
-        for e in range(E):
-            c = checks[e]
-            slot_in_check[e] = fill[c]
-            check_edge[c, fill[c]] = e
-            fill[c] += 1
+        starts_c = np.concatenate([[0], np.cumsum(dc)[:-1]])
+        slot_in_check = (np.arange(E) - np.repeat(starts_c, dc)).astype(
+            np.int32
+        )
+        check_edge[checks, slot_in_check] = np.arange(E, dtype=np.int32)
 
         var_edge = np.full((n, dv_max), E, dtype=np.int32)
-        fill = np.zeros(n, dtype=np.int32)
-        for e in range(E):
-            v = vars_[e]
-            var_edge[v, fill[v]] = e
-            fill[v] += 1
+        by_var = np.argsort(vars_, kind="stable")  # edge ids, var-major
+        starts_v = np.concatenate([[0], np.cumsum(dv)[:-1]])
+        slot_in_var = np.arange(E) - np.repeat(starts_v, dv)
+        var_edge[vars_[by_var], slot_in_var] = by_var.astype(np.int32)
 
         check_slot_of_edge = (checks * dc_max + slot_in_check).astype(np.int32)
         check_regular = bool((dc == dc_max).all()) and bool(
