@@ -38,7 +38,6 @@ vmapped over the sample batch. The combination search is a single
 from __future__ import annotations
 
 import dataclasses
-import functools
 from itertools import combinations
 
 import jax

@@ -190,3 +190,16 @@ class TestTransformElimination:
         a = np.asarray(dec_t(syndromes, llrs, hard))
         b = np.asarray(dec_s(syndromes, llrs, hard))
         assert np.array_equal(a, b)
+
+
+class TestParityTables:
+    def test_gather_parity_equals_matmul(self, rng):
+        from qldpc_tpu.ops.tanner import parity_tables
+
+        H = (rng.random((13, 57)) < 0.15).astype(np.uint8)
+        vos, dcp = parity_tables(H)
+        assert vos.shape == (13 * dcp,)
+        bits = rng.integers(0, 2, size=(9, 57)).astype(np.int64)
+        bp = np.pad(bits, ((0, 0), (0, 1)))
+        got = bp[:, vos].reshape(9, 13, dcp).sum(-1) % 2
+        assert np.array_equal(got, (bits @ H.T) % 2)
