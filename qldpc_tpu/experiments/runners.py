@@ -82,12 +82,28 @@ def build_engine(
         pdem = parametric_memory_dem(
             code, basis="z", rounds=spec.n_rounds or code.distance
         )
+        # memory-aware batch clamp: the streamed BP kernel carries several
+        # slot-space ((m_pad * dc_pad, B)) f32 arrays through HBM per
+        # dispatch; ~16 GB of device memory caps the lane count for big
+        # DEMs (a [[144,12,12]] DEM OOMs at B=1024 — measured). Keep
+        # multiples of 128 (kernel lane tiles).
+        m, n_mech = pdem.H.shape
+        dcp = int(np.asarray(pdem.H.sum(1)).max())
+        slot_bytes = (m * dcp * 4) * 6 + n_mech * 12 * 4  # carries + gathers
+        max_b = max(128, int(10e9 // max(slot_bytes, 1)) // 128 * 128)
+        batch = min(spec.batch_size, max_b)
+        if batch < spec.batch_size:
+            print(
+                f"[{spec.name}] {code_name}: batch_size clamped "
+                f"{spec.batch_size} -> {batch} (DEM {m}x{n_mech} memory)",
+                flush=True,
+            )
         return DEMEngine(
             pdem,
             DEMEngineConfig(
                 bp=_bp_config(spec, max_iter=max_iter, alpha=alpha, rate_hint=rate_hint),
                 osd=_osd_config(spec, order=osd_order),
-                batch_size=spec.batch_size,
+                batch_size=batch,
                 osd_fraction=spec.osd_fraction,
             ),
             mesh=mesh,
