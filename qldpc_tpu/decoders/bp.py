@@ -64,6 +64,9 @@ class BPConfig:
     dtype: str = "float32"
     backend: str = "xla"  # "xla" | "pallas" (fused VMEM-resident TPU kernel)
     batch_tile: int = 0  # pallas: batch lanes per grid step; 0 = auto
+    stream_dtype: str = "float32"  # streamed DEM kernel only: HBM message
+    # stream dtype ("float32" | "bfloat16"); bf16 halves slot-space traffic,
+    # compute stays f32 in-kernel, decisions no longer bit-match XLA
     # (256, or ops.bp_pallas.recommended_batch_tile(p) where the caller
     # knows the target error rate — see experiments/runners.py)
 
@@ -81,6 +84,13 @@ class BPConfig:
             raise ValueError("max_iter must be a multiple of chunk_size")
         if self.backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.stream_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown stream_dtype {self.stream_dtype!r}")
+        if self.stream_dtype != "float32" and self.backend != "pallas":
+            raise ValueError(
+                "stream_dtype applies only to the pallas backend's streamed "
+                "DEM kernel (irregular graphs)"
+            )
 
 
 class _Carry(NamedTuple):
@@ -521,6 +531,12 @@ class BPDecoder:
                 return self._build_dem_pallas()
             import warnings
 
+            if cfg.stream_dtype != "float32":
+                raise ValueError(
+                    "stream_dtype=bfloat16 requires the streamed DEM kernel "
+                    "(irregular graph, flooding schedule, no damping); this "
+                    "graph/config would fall back to the f32 XLA path"
+                )
             warnings.warn(
                 "pallas BP on this graph/config is unsupported (fused tables "
                 f"{table_bytes / 2**20:.1f} MiB, layered or damped on an "
@@ -530,6 +546,11 @@ class BPDecoder:
             if cfg.schedule == "layered":
                 return self._build_layered()
             return self._build()
+        if cfg.stream_dtype != "float32":
+            raise ValueError(
+                "stream_dtype applies to the streamed DEM kernel only; the "
+                "fused VMEM-resident kernel has no HBM message streams"
+            )
         kernel = PallasBPKernel(
             self.graph,
             max_iter=cfg.max_iter,
@@ -577,6 +598,7 @@ class BPDecoder:
             offset=cfg.offset,
             clip_llr=cfg.clip_llr,
             chunk_size=cfg.chunk_size,
+            stream_dtype=cfg.stream_dtype,
             interpret=jax.default_backend() == "cpu",
         )
 

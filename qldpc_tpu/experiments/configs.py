@@ -51,6 +51,8 @@ class ExperimentSpec:
     bp_layers: int = 0  # layered: check groups per iteration; 0 = auto
     bp_backend: str = "xla"  # "xla" | "pallas"
     bp_batch_tile: int = 0  # pallas tile; 0 = auto from the rate grid
+    bp_stream_dtype: str = "float32"  # streamed DEM kernel: "bfloat16"
+    # halves HBM message traffic (compute stays f32); see BPConfig
     osd_backend: str = "auto"  # "auto" | "lanes" | "vmap" | "pallas"
     osd_fraction: float = 1.0
     alpha: float = 1.0

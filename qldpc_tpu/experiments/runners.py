@@ -48,6 +48,7 @@ def _bp_config(
         n_layers=spec.bp_layers,
         backend=spec.bp_backend,
         batch_tile=batch_tile,
+        stream_dtype=spec.bp_stream_dtype,
     )
 
 

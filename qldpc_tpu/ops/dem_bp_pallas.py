@@ -31,6 +31,15 @@ one var-space gather+stream ~= 8 ms at B=1024 on v5e vs ~38 ms for the XLA
 slot path (~4.6x); early exit and lower max_iter compound on top for the
 engine workload. Reference workload: studies/studyComplete.py:99-104.
 
+``stream_dtype="bfloat16"`` halves every slot-space stream (the values
+gather, the R carry, the r_new write-back and the var-side gather) while
+keeping ALL arithmetic in float32 inside the kernels (bf16 -> f32 upcast
+is exact; only the stream write-backs round). The posterior-LLR carry and
+the convergence/detection logic stay float32, so converged lanes still
+satisfy their syndrome exactly — but decisions no longer bit-match the
+f32 XLA slot path (near-tie message roundings can flip), which is why it
+is opt-in (BPConfig.stream_dtype) and off by default.
+
 In-kernel arbitrary gathers are NOT used: Mosaic's dynamic_gather only
 supports within-tile shuffles (take_along_axis crashes the TPU compiler
 beyond one (8, 128) tile — probed 2026-08-19), so the gathers stay in XLA
@@ -83,8 +92,8 @@ def _check_kernel(
     offset: float,
     clip_llr: float | None,
 ):
-    vg = vg_ref[:]
-    q = vg - r_ref[:]
+    vg = vg_ref[:].astype(jnp.float32)  # bf16 -> f32 upcast is exact
+    q = vg - r_ref[:].astype(jnp.float32)
     mask = mask_ref[:]
     if clip_llr is not None:
         # clipping must not tame the phantom BIG (it has to stay the
@@ -128,7 +137,7 @@ def _check_kernel(
 
     if alpha != 1.0:
         r3 = r3 * alpha
-    rnew_ref[:] = r3.reshape(ck * dcp, bt)
+    rnew_ref[:] = r3.reshape(ck * dcp, bt).astype(rnew_ref.dtype)
 
 
 class DEMPallasBPKernel:
@@ -152,10 +161,14 @@ class DEMPallasBPKernel:
         clip_llr: float | None = None,
         chunk_size: int = 0,
         check_chunk: int = 4,
+        stream_dtype: str = "float32",
         interpret: bool = False,
     ):
         if chunk_size and max_iter % chunk_size:
             raise ValueError("max_iter must be a multiple of chunk_size")
+        if stream_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported stream_dtype {stream_dtype!r}")
+        self._sd = jnp.dtype(stream_dtype)
         g = graph
         self.graph = g
         self.max_iter = max_iter
@@ -268,7 +281,7 @@ class DEMPallasBPKernel:
             ],
             out_specs=(blk(rows), blk(ck)),
             out_shape=(
-                jax.ShapeDtypeStruct((S_pad, bt), jnp.float32),
+                jax.ShapeDtypeStruct((S_pad, bt), self._sd),
                 jax.ShapeDtypeStruct((m, bt), jnp.float32),
             ),
             interpret=self.interpret,
@@ -284,16 +297,17 @@ class DEMPallasBPKernel:
                 parts.append(jnp.zeros((cnt, bt), jnp.float32))
                 continue
             rv = r_new[vef, :].reshape(cnt, d, bt)
-            acc = rv[:, 0, :]
+            acc = rv[:, 0, :].astype(jnp.float32)
             for j in range(1, d):
-                acc = acc + rv[:, j, :]
+                acc = acc + rv[:, j, :].astype(jnp.float32)
             parts.append(acc)
         return jnp.concatenate(parts, axis=0)  # (n, bt)
 
     # -- one BP step ---------------------------------------------------------
     def _step(self, carry, syn_T, priors_T, bt):
         values, R, conv, iters, step = carry
-        vg = values[self._vos, :]  # (S_pad, bt) XLA row gather
+        vs = values if self._sd == jnp.float32 else values.astype(self._sd)
+        vg = vs[self._vos, :]  # (S_pad, bt) XLA row gather
         r_new, s_hat = self._check_prog(bt)(vg, R, 1.0 - 2.0 * syn_T,
                                             self._mask)
         # s_hat belongs to the PREVIOUS iteration's values: detection is
@@ -343,7 +357,7 @@ class DEMPallasBPKernel:
 
         carry = (
             priors_T,
-            jnp.zeros((self._S_pad, bt), jnp.float32),
+            jnp.zeros((self._S_pad, bt), self._sd),
             jnp.zeros((bt,), bool),
             jnp.full((bt,), max(self.max_iter - 1, 0), jnp.int32),
             jnp.zeros((), jnp.int32),

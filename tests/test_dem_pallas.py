@@ -93,6 +93,53 @@ def test_chunked_early_exit_matches_full(rng):
     assert np.array_equal(np.asarray(full.hard), np.asarray(chunked.hard))
 
 
+@pytest.mark.parametrize("method", ["sum-product", "min-sum"])
+def test_bf16_streams(rng, method):
+    """stream_dtype="bfloat16" halves HBM traffic; compute stays f32.
+
+    Decisions may legitimately differ from the f32 path on near-tie
+    roundings, so the contract here is (a) self-consistency — every lane
+    reported converged satisfies its syndrome exactly — and (b) posterior
+    LLRs close to the f32 kernel on lanes both paths converged."""
+    dem = _dem_H()
+    H = dem.H
+    mech = (rng.random((96, H.shape[1])) < dem.priors[None, :]).astype(np.int8)
+    syn = (mech @ H.T) % 2
+    prior = dem.llrs.astype(np.float32)
+    f32 = BPDecoder(
+        H, BPConfig(backend="pallas", max_iter=15, method=method)
+    )(syn, prior)
+    bf16 = BPDecoder(
+        H,
+        BPConfig(
+            backend="pallas", max_iter=15, method=method,
+            stream_dtype="bfloat16",
+        ),
+    )(syn, prior)
+    conv = np.asarray(bf16.converged)
+    hard = np.asarray(bf16.hard)
+    assert conv.any()  # Steane DEM at p=0.01 converges readily
+    resid = (hard @ H.T) % 2
+    assert np.array_equal(resid[conv], np.asarray(syn)[conv])
+    both = conv & np.asarray(f32.converged)
+    a = np.asarray(f32.llrs)[both]
+    b = np.asarray(bf16.llrs)[both]
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.25)
+
+
+def test_stream_dtype_guards():
+    from qldpc_tpu.codes import get_code as _gc
+
+    with pytest.raises(ValueError):
+        BPConfig(backend="xla", stream_dtype="bfloat16")
+    with pytest.raises(ValueError):
+        BPConfig(backend="pallas", stream_dtype="float16")
+    # regular (fused-kernel) graphs have no HBM message streams
+    Hx = _gc("steane").Hx
+    with pytest.raises(ValueError):
+        BPDecoder(Hx, BPConfig(backend="pallas", stream_dtype="bfloat16"))
+
+
 def test_non_multiple_of_128_batch(rng):
     """Lane padding: B=50 must give the same answers as the XLA path."""
     H = _irregular_H(rng)
