@@ -81,10 +81,15 @@ class OSDConfig:
     extra_positions: int = 10  # test set size = order + extra_positions
     dtype: str = "float32"
     backend: str = "auto"  # "auto": pallas on TPU when the packed system
-    # fits VMEM, lanes otherwise. "lanes" (batch-in-lanes XLA elimination) |
-    # "vmap" | "pallas" (lanes pipeline with the VMEM-resident elimination
-    # kernel, ops/osd_pallas.py — 3-10x faster per batch on TPU at the
-    # engine's compaction tier sizes; interpret-mode on CPU)
+    # fits VMEM, factored for wide systems past VMEM (OSD-0), lanes
+    # otherwise. "lanes" (batch-in-lanes XLA elimination) | "vmap" |
+    # "pallas" (lanes pipeline with the VMEM-resident elimination kernel,
+    # ops/osd_pallas.py — 3-10x faster per batch on TPU at the engine's
+    # compaction tier sizes; interpret-mode on CPU) | "factored" (T-free
+    # blocked elimination, ops/osd_factored.py — the only fast path at
+    # [[144,12,12]]+ DEM scale where the m x m transform exceeds VMEM)
+    max_elim_cols: int = 2048  # factored backend: column budget (raise for
+    # very high physical rates; overflow is surfaced, never silent)
     chunk: int = 64  # OSD-e: samples per lax.map chunk (bounds the
     # (chunk x patterns x m) pattern-search workspace)
     batch_tile: int = 256  # pallas backend: lanes per kernel instance
@@ -164,13 +169,17 @@ class OSDDecoder:
                 # wide systems: the transform kernel keeps a 128-lane tile
                 # of T VMEM-resident (m * m_words * 128 * 4 bytes — 3.1 MB
                 # for a 432-detector DEM). T grows as m^2/32: past ~6 MB
-                # ([[144,12,12]] DEMs: m=1728 -> 47.8 MB) it cannot fit and
-                # the XLA transform path (with the same unresolved-b early
-                # exit) takes over
+                # ([[144,12,12]] DEMs: m=1728 -> 47.8 MB) it cannot fit;
+                # OSD-0 then takes the T-free factored elimination
+                # (ops/osd_factored.py) on TPU, and the XLA transform path
+                # (same combined early exit) covers the rest
                 t_tile = self.m * self.m_words * 128 * 4
-                self.backend = (
-                    "pallas" if on_tpu and t_tile <= 6e6 else "lanes"
-                )
+                if on_tpu and t_tile <= 6e6:
+                    self.backend = "pallas"
+                elif on_tpu and config.order == 0:
+                    self.backend = "factored"
+                else:
+                    self.backend = "lanes"
             else:
                 # pallas pays off when a (m, nw, batch_tile) tile (x2 for
                 # the in/out pair) + b + piv sits comfortably in VMEM
@@ -180,16 +189,36 @@ class OSDDecoder:
                 self.backend = (
                     "pallas" if on_tpu and tile_bytes <= 8e6 else "lanes"
                 )
+        if self.backend == "factored":
+            if config.order > 0:
+                raise ValueError(
+                    "backend='factored' implements OSD-0 only (wide-system "
+                    "OSD-e uses the transform paths)"
+                )
+            if not self._use_transform:
+                raise ValueError(
+                    "backend='factored' targets wide systems (n_words > "
+                    "4*m_words); use lanes/pallas for this shape"
+                )
+            from qldpc_tpu.ops.osd_factored import FactoredEliminator
+
+            self._factored = FactoredEliminator(
+                H,
+                h_rank=self._H_rank,
+                max_cols=config.max_elim_cols,
+                interpret=jax.default_backend() != "tpu",
+            )
         # dense device copies of H, for the paths that need them. The wide
         # transform path never touches them; skip only when the matrix is
         # genuinely huge (a [[144,12,12]] DEM is 463 MB as f32) so every
         # configuration of moderate systems keeps working
         if self.m * self.n <= 8_000_000 or not (
-            self._use_transform and self.backend in ("lanes", "pallas")
+            self._use_transform
+            and self.backend in ("lanes", "pallas", "factored")
         ):
             self._H = jnp.asarray(H)
             self._Hf = jnp.asarray(H, jnp.float32)  # MXU residual matmul
-        if self.backend in ("lanes", "pallas"):
+        if self.backend in ("lanes", "pallas", "factored"):
             self._decode = jax.jit(
                 self._osd0_lanes if config.order == 0 else self._osde_lanes
             )
@@ -656,12 +685,36 @@ class OSDDecoder:
             ) % 2
 
         order = jnp.argsort(jnp.abs(llrs), axis=1, stable=True)  # (B, n)
+        if self.backend == "factored":
+            # T-free blocked elimination; piv_col comes back in ORIGINAL
+            # column coordinates, so the correction scatters directly
+            # (no permuted intermediate). Solution-level bit parity with
+            # _eliminate_lanes_T is pinned by tests/test_osd_factored.py.
+            bv, _piv, piv_col, _overflow = self._factored(
+                order, resid.T.astype(jnp.uint32)
+            )
+            b_bt = bv.T  # (B, m)
+            piv_bt = piv_col.T  # (B, m) original column ids, -1 none
+            tgt = jnp.where(piv_bt >= 0, piv_bt, n)
+            bidx = jnp.arange(B)[:, None]
+            corr = (
+                jnp.zeros((B, n + 1), jnp.uint32).at[bidx, tgt].set(b_bt)[:, :n]
+            )
+            sol = ((hard + corr.astype(jnp.int32)) % 2).astype(jnp.int8)
+            return order, None, b_bt, piv_bt, sol
         if self._use_transform:
-            # OSD-0 never reads T after elimination, so it may stop as soon
-            # as no unresolved syndrome bit remains (~100x fewer column
-            # steps at DEM scale); OSD-e's pattern search reads T and keeps
-            # the rank(H) exit
-            b_exit = self.config.order == 0
+            # Per-lane combined exit (exact for EVERY order): a lane stops
+            # once no unresolved syndrome bit remains (b-exit) OR it reaches
+            # rank(H). OSD-0 never reads T after elimination, so b-exit is
+            # trivially safe there; for OSD-e a b-exited lane is by
+            # definition CONSISTENT (its residual was resolved), which takes
+            # the reference's early return (OSD_enhanced.py:59) — the
+            # pattern search never reads its T. Inconsistent lanes (the only
+            # ones searched) carry a permanently unresolved b bit, so they
+            # can never b-exit and always run to full rank with valid T.
+            # This removes the order>0 wide-system cliff (round-3 VERDICT
+            # item 6: 6x OSD-0 cost for zero benefit on in-image syndromes).
+            b_exit = True
             if self.backend == "pallas":
                 A, bb, rank, piv_col = self._eliminate_lanes_T_pallas(
                     order, resid.T.astype(jnp.uint32), b_exit=b_exit

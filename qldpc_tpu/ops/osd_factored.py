@@ -1,0 +1,494 @@
+"""Factored (delayed-update) GF(2) elimination for DEM-scale wide OSD.
+
+The transform elimination (decoders/osd.py::_eliminate_lanes_T and its
+VMEM-resident kernel, ops/osd_transform_pallas.py) carries the m x m row-op
+transform T per lane. A [[144,12,12]] circuit DEM has m = 1728 detectors:
+T is 373 KB *per lane* (47.8 MB per 128-lane tile) — far past VMEM — so the
+kernel refuses it and the XLA path round-trips T through HBM ~10x per column
+step (~18 s per 512-lane batch, the round-3 bottleneck: docs/circuit_ler.md).
+
+This module never materializes T. It exploits the algebra of the
+elimination: every row operation ever performed is "row r ^= (pivot-time
+value of pivot s)", so after any number of steps
+
+    T[r] = e_r  ^  XOR_{s : C[r,s]=1} P[s]
+
+with  P[s] = the s-th pivot row's T-value at its own pivot time (frozen) and
+C[r,s] = 1 iff row r was ever eliminated by pivot s. Columns are processed
+in blocks of K: the current RREF bits of a block are reconstructed as
+
+    W = H_blk  ^  C @ (P @ H_blk)        (all products mod 2)
+
+then a K-step panel elimination runs entirely in VMEM on [W | b], recording
+the block's new coefficients C_new and pivot rows, and the new pivot T-rows
+are resolved from (P, C, C_new) — no per-column pass over any m x m state.
+Pivot selection is *implicit* (first un-pivoted row, no physical swaps):
+the pivot column set and the reduced syndrome b at the pivots — the only
+outputs OSD consumes — are invariant to pivot-row choice (the RREF of
+[H_perm | b] is canonical), so decisions match the transform paths
+bit-for-bit at the solution level (tests/test_osd_factored.py).
+
+Block loop placement: XLA `while_loop` hosts the loop (per-lane combined
+b-exit/rank-exit condition, exactly decoders/osd.py::_eliminate_lanes_T's),
+XLA does the per-lane column gathers (measured-fast batch-minor row gathers;
+Mosaic cannot gather) and the P/C appends; four small Pallas kernels do the
+VMEM-resident math. HBM traffic per block is one streamed pass over P (x2)
+and C (x1) plus K-column gathers — vs the XLA transform path's ~10 passes
+over T *per column*.
+
+Reference workload: studies/studyComplete.py:99-104 at [[144,12,12]] /
+[[288,12,18]] scale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["FactoredEliminator"]
+
+_WORD = 32
+
+
+def _round_up(x: int, k: int) -> int:
+    return -(-x // k) * k
+
+
+def _select_sum(vals, mask, axis=0):
+    """Exact one-hot masked uint32 reduction via int32 bitcast (Mosaic
+    lowers no unsigned reductions — ops/osd_pallas.py)."""
+    vi = jax.lax.bitcast_convert_type(vals, jnp.int32)
+    s = jnp.sum(jnp.where(mask, vi, 0), axis=axis, keepdims=True,
+                dtype=jnp.int32)
+    return jax.lax.bitcast_convert_type(s, jnp.uint32)
+
+
+def _parity32(z):
+    """Bitwise parity of every uint32 lane -> {0,1} uint32."""
+    z = z ^ (z >> jnp.uint32(16))
+    z = z ^ (z >> jnp.uint32(8))
+    z = z ^ (z >> jnp.uint32(4))
+    z = z ^ (z >> jnp.uint32(2))
+    z = z ^ (z >> jnp.uint32(1))
+    return z & jnp.uint32(1)
+
+
+# --------------------------------------------------------------------------
+# kernel 1: Y = P @ H_blk   (per-pivot parity of every block column)
+# --------------------------------------------------------------------------
+def _y_kernel(scur_ref, p_ref, hblk_ref, y_ref, *, sp, mw, kw, bt):
+    s_base = pl.program_id(1) * sp
+
+    @pl.when(s_base >= scur_ref[0])
+    def _zero():
+        y_ref[:] = jnp.zeros((sp, kw, bt), jnp.uint32)
+
+    @pl.when(s_base < scur_ref[0])
+    def _compute():
+        for w in range(kw):
+            def bit_step(i2, word):
+                k = w * _WORD + i2
+                hc = hblk_ref[k]  # (mw, bt)
+                z = p_ref[:, 0, :] & hc[0][None, :]
+                for ww in range(1, mw):
+                    z = z ^ (p_ref[:, ww, :] & hc[ww][None, :])
+                bit = _parity32(z)  # (sp, bt)
+                return word ^ (bit << i2.astype(jnp.uint32))
+
+            y_ref[:, w, :] = jax.lax.fori_loop(
+                0, _WORD, bit_step, jnp.zeros((sp, bt), jnp.uint32)
+            )
+
+
+# --------------------------------------------------------------------------
+# kernel 2: W = H_blk_bits ^ C @ Y   (current RREF bits of the block)
+# --------------------------------------------------------------------------
+def _w_kernel(scur_ref, c_ref, y_ref, hb_ref, w_ref, *, mp, kw, bt):
+    mpw = mp // _WORD
+    # unpack this row-panel's H bits, re-packed along the column axis
+    words = []
+    for w in range(kw):
+        def bit_step(i2, word):
+            k = w * _WORD + i2
+            hw = hb_ref[k]  # (mpw, bt) row-words of column k
+            bits = (
+                jnp.broadcast_to(hw[:, None, :], (mpw, _WORD, bt))
+                >> jax.lax.broadcasted_iota(jnp.uint32, (mpw, _WORD, bt), 1)
+            ) & jnp.uint32(1)
+            bits = bits.reshape(mp, bt)
+            return word ^ (bits << i2.astype(jnp.uint32))
+
+        words.append(
+            jax.lax.fori_loop(0, _WORD, bit_step,
+                              jnp.zeros((mp, bt), jnp.uint32))[:, None, :]
+        )
+    acc = jnp.concatenate(words, axis=1)  # (mp, kw, bt)
+
+    # C @ Y: per coefficient word, 32 statically-unrolled bit terms (rows of
+    # Y past scur are zero, so word-granular overshoot contributes nothing)
+    def word_step(sw, acc):
+        cm = c_ref[:, sw, :]  # (mp, bt)
+        for i3 in range(_WORD):
+            mask = (cm >> jnp.uint32(i3)) & jnp.uint32(1)
+            y = y_ref[sw * _WORD + i3]  # (kw, bt)
+            acc = acc ^ (mask[:, None, :] * y[None, :, :])
+        return acc
+
+    n_words = (scur_ref[0] + _WORD - 1) // _WORD
+    acc = jax.lax.fori_loop(0, n_words, word_step, acc)
+    w_ref[:] = acc
+
+
+# --------------------------------------------------------------------------
+# kernel 3: VMEM-resident K-column panel elimination on [W | b]
+# --------------------------------------------------------------------------
+def _elim_kernel(
+    ids_ref,  # (K, bt) int32 original column ids (n sentinel on padding)
+    _w_in,    # aliased to w_io (read/write through the out ref)
+    _b_in,
+    _piv_in,
+    w_io,     # in/out alias (m_pad, kw, bt) — consumed
+    b_io,     # in/out alias (m_pad, bt)
+    piv_io,   # in/out alias (m_pad, bt)
+    cnew_ref,  # out (m_pad, kw, bt)
+    prow_ref,  # out (K, bt) int32, m_pad sentinel where no pivot
+    *,
+    m_pad: int,
+    kw: int,
+    bt: int,
+    n: int,
+):
+    K = kw * _WORD
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (m_pad, bt), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, bt), 0)
+    prow = jnp.full((K, bt), m_pad, jnp.int32)
+
+    for w in range(kw):
+        def bit_step(i2, carry):
+            cword, prow = carry
+            j = w * _WORD + i2
+            bits = (w_io[:, w, :] >> i2.astype(jnp.uint32)) & jnp.uint32(1)
+            valid_col = ids_ref[j][None, :] < n  # (1, bt) -> broadcast
+            cand = (bits == 1) & (piv_io[:] == 0) & valid_col
+            idx = jnp.min(
+                jnp.where(cand, row_ids, m_pad), axis=0, keepdims=True
+            )  # (1, bt)
+            has = idx < m_pad
+            oh = row_ids == idx
+
+            bp = _select_sum(b_io[:], oh)  # (1, bt)
+            elim = ((bits == 1) & ~oh & has).astype(jnp.uint32)
+            for ww in range(kw):
+                wp = _select_sum(w_io[:, ww, :], oh)
+                w_io[:, ww, :] = w_io[:, ww, :] ^ (elim * wp)
+            b_io[:] = b_io[:] ^ (elim * bp)
+            piv_io[:] = piv_io[:] | (oh & has).astype(jnp.uint32)
+            cword = cword ^ (elim << i2.astype(jnp.uint32))
+            prow = jnp.where(k_iota == j, idx, prow)
+            return cword, prow
+
+        cword, prow = jax.lax.fori_loop(
+            0, _WORD, bit_step,
+            (jnp.zeros((m_pad, bt), jnp.uint32), prow),
+        )
+        cnew_ref[:, w, :] = cword
+
+    prow_ref[:] = prow
+
+
+# --------------------------------------------------------------------------
+# kernel 4: resolve the block's pivot T-rows  Pnew = e_p ^ G@P ^ D@Pnew
+# --------------------------------------------------------------------------
+def _resolve_kernel(
+    scur_ref,
+    p_ref,    # (SP, mw, bt) streamed panel of P
+    g_ref,    # (K, cw, bt) gathered C rows of the pivots (masked invalid)
+    d_ref,    # (K, kw, bt) gathered C_new rows (intra-block coefficients)
+    prow_ref,  # (K, bt) int32
+    pnew_ref,  # out (K, mw, bt), accumulated across the panel grid axis
+    *,
+    sp: int,
+    mw: int,
+    kw: int,
+    bt: int,
+    K: int,
+):
+    s_base = pl.program_id(1) * sp
+    last = pl.num_programs(1) - 1
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        pnew_ref[:] = jnp.zeros((K, mw, bt), jnp.uint32)
+
+    @pl.when(s_base < scur_ref[0])
+    def _acc():
+        def s_step(sl, acc):
+            s = s_base + sl
+            gw = g_ref[:, s // _WORD, :]  # (K, bt)
+            mask = (gw >> (s % _WORD).astype(jnp.uint32)) & jnp.uint32(1)
+            pv = p_ref[sl]  # (mw, bt)
+            return acc ^ (mask[:, None, :] * pv[None, :, :])
+
+        n_loc = jnp.clip(scur_ref[0] - s_base, 0, sp)
+        pnew_ref[:] = jax.lax.fori_loop(0, n_loc, s_step, pnew_ref[:])
+
+    @pl.when(pl.program_id(1) == last)
+    def _finish():
+        acc = pnew_ref[:]
+        # e_{p_j}: one bit at the pivot's own row (sentinel m_pad lands in
+        # word m_pad//32 == mw, beyond every real word -> no contribution)
+        pr = prow_ref[:]  # (K, bt) int32
+        prw = pr >> 5
+        prb = (pr & 31).astype(jnp.uint32)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (K, mw, bt), 1)
+        e = (prw[:, None, :] == w_iota).astype(jnp.uint32) << prb[:, None, :]
+        acc = acc ^ e
+        # intra-block resolve in pivot order. D rows are NOT lower
+        # triangular — full RREF lets a later pivot j2 > j eliminate
+        # *above* into pivot row j — but only ops BEFORE row j's own pivot
+        # time (j2 < j) belong in its frozen P value, so mask to the
+        # strictly-lower triangle; acc[j2] is then final before any later
+        # row consumes it
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (K, 1, bt), 0)
+        for j2 in range(K):
+            dmask = (
+                d_ref[:, j2 // _WORD, :] >> jnp.uint32(j2 % _WORD)
+            ) & jnp.uint32(1)
+            dmask = dmask[:, None, :] * (j_iota > j2).astype(jnp.uint32)
+            acc = acc ^ (dmask * acc[j2][None, :, :])
+        pnew_ref[:] = acc
+
+
+class FactoredEliminator:
+    """Batched wide-system GF(2) RREF solver, batch in lanes, T-free.
+
+    ``__call__(order (B, n) int32, resid (m, B) uint32)`` returns
+    ``(b (m, B) uint32, pivoted (m, B) uint32, piv_col (m, B) int32
+    [original column ids, -1 where no pivot], overflow (B,) bool)``.
+    The OSD-0 solution is ``corr[piv_col[r]] = b[r]`` over pivoted rows —
+    bit-identical to decoders/osd.py::_eliminate_lanes_T's solution.
+    ``overflow`` lanes ran out of column budget before resolving (raise
+    ``max_cols``); with the default budget this never fires on in-image
+    DEM syndromes (validated in the engine tests).
+    """
+
+    def __init__(
+        self,
+        H: np.ndarray,
+        *,
+        h_rank: int,
+        max_cols: int = 2048,
+        batch_tile: int = 128,
+        interpret: bool = False,
+    ):
+        H = (np.asarray(H) % 2).astype(np.uint8)
+        self.m, self.n = H.shape
+        self.h_rank = int(h_rank)
+        self.bt = batch_tile
+        self.interpret = interpret
+        self.K = K = 128
+        self.kw = K // _WORD
+        self.mp = 128  # kernel-2 row panel
+        self.sp = 256  # P panel (kernel 1)
+        self.sp4 = 128  # P panel (kernel 4 — its VMEM also holds G + Pnew)
+        self.m_pad = _round_up(self.m, self.mp)
+        self.mw = self.m_pad // _WORD
+        nb = max(1, _round_up(min(max_cols, self.n), K) // K)
+        nb = _round_up(nb, self.sp // K)  # S_max must tile into SP panels
+        self.nb = nb
+        self.s_max = nb * K
+        self.cw = self.s_max // _WORD
+
+        Hp = np.pad(H, ((0, self.m_pad - self.m), (0, 0)))
+        Ht = Hp.T.astype(np.uint32).reshape(self.n, self.mw, _WORD)
+        shifts = np.arange(_WORD, dtype=np.uint32)
+        hc = (Ht << shifts).sum(axis=-1).astype(np.uint32)  # (n, mw)
+        self._Hc = jnp.asarray(np.pad(hc, ((0, 1), (0, 0))))  # row n = 0
+
+    # -- pallas program builders --------------------------------------------
+    @functools.lru_cache(maxsize=2)
+    def _progs(self, B: int):
+        bt, K, kw, mw, mp, sp = self.bt, self.K, self.kw, self.mw, self.mp, self.sp
+        m_pad, s_max, cw = self.m_pad, self.s_max, self.cw
+        ip = self.interpret
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+        y_prog = pl.pallas_call(
+            functools.partial(_y_kernel, sp=sp, mw=mw, kw=kw, bt=bt),
+            grid=(B // bt, s_max // sp),
+            in_specs=[
+                smem,
+                pl.BlockSpec((sp, mw, bt), lambda i, s: (s, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, mw, bt), lambda i, s: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((sp, kw, bt), lambda i, s: (s, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((s_max, kw, B), jnp.uint32),
+            interpret=ip,
+        )
+
+        w_prog = pl.pallas_call(
+            functools.partial(_w_kernel, mp=mp, kw=kw, bt=bt),
+            grid=(B // bt, m_pad // mp),
+            in_specs=[
+                smem,
+                pl.BlockSpec((mp, cw, bt), lambda i, j: (j, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((s_max, kw, bt), lambda i, j: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, mp // _WORD, bt), lambda i, j: (0, j, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((mp, kw, bt), lambda i, j: (j, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((m_pad, kw, B), jnp.uint32),
+            interpret=ip,
+        )
+
+        full = lambda *dims: pl.BlockSpec(
+            dims, (lambda i: (0, i) if len(dims) == 2 else (0, 0, i)),
+            memory_space=pltpu.VMEM,
+        )
+        elim_prog = pl.pallas_call(
+            functools.partial(
+                _elim_kernel, m_pad=m_pad, kw=kw, bt=bt, n=self.n
+            ),
+            grid=(B // bt,),
+            in_specs=[
+                full(K, bt),
+                full(m_pad, kw, bt),
+                full(m_pad, bt),
+                full(m_pad, bt),
+            ],
+            out_specs=(
+                full(m_pad, kw, bt),
+                full(m_pad, bt),
+                full(m_pad, bt),
+                full(m_pad, kw, bt),
+                full(K, bt),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((m_pad, kw, B), jnp.uint32),
+                jax.ShapeDtypeStruct((m_pad, B), jnp.uint32),
+                jax.ShapeDtypeStruct((m_pad, B), jnp.uint32),
+                jax.ShapeDtypeStruct((m_pad, kw, B), jnp.uint32),
+                jax.ShapeDtypeStruct((K, B), jnp.int32),
+            ),
+            input_output_aliases={1: 0, 2: 1, 3: 2},
+            interpret=ip,
+        )
+
+        sp4 = self.sp4
+        res_prog = pl.pallas_call(
+            functools.partial(
+                _resolve_kernel, sp=sp4, mw=mw, kw=kw, bt=bt, K=K
+            ),
+            grid=(B // bt, s_max // sp4),
+            in_specs=[
+                smem,
+                pl.BlockSpec((sp4, mw, bt), lambda i, s: (s, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, cw, bt), lambda i, s: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, kw, bt), lambda i, s: (0, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, bt), lambda i, s: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((K, mw, bt), lambda i, s: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((K, mw, B), jnp.uint32),
+            interpret=ip,
+        )
+        return y_prog, w_prog, elim_prog, res_prog
+
+    def __call__(self, order: jax.Array, resid: jax.Array):
+        B = order.shape[0]
+        pad_b = (-B) % self.bt
+        if pad_b:
+            order = jnp.pad(order, ((0, pad_b), (0, 0)),
+                            constant_values=self.n)
+            resid = jnp.pad(resid, ((0, 0), (0, pad_b)))
+        Bp = B + pad_b
+        m_pad, K, kw, mw, cw = self.m_pad, self.K, self.kw, self.mw, self.cw
+        y_prog, w_prog, elim_prog, res_prog = self._progs(Bp)
+
+        # column schedule, padded with the n sentinel (zero column)
+        ncols = self.nb * K
+        if order.shape[1] < ncols:
+            order = jnp.pad(order, ((0, 0), (0, ncols - order.shape[1])),
+                            constant_values=self.n)
+
+        b0 = jnp.pad(
+            resid.astype(jnp.uint32), ((0, m_pad - self.m), (0, 0))
+        )
+        state = dict(
+            P=jnp.zeros((self.s_max, mw, Bp), jnp.uint32),
+            C=jnp.zeros((m_pad, cw, Bp), jnp.uint32),
+            b=b0,
+            piv=jnp.zeros((m_pad, Bp), jnp.uint32),
+            piv_col=jnp.full((m_pad + 1, Bp), -1, jnp.int32),
+            blk=jnp.int32(0),
+        )
+
+        lane = jnp.arange(Bp)[None, :]
+
+        def lane_done(st):
+            unres = jnp.max(
+                (st["b"] * (1 - st["piv"])).astype(jnp.int32), axis=0
+            )
+            rank = jnp.sum(st["piv"], axis=0, dtype=jnp.int32)
+            return (unres == 0) | (rank >= self.h_rank)
+
+        def cond(st):
+            return (st["blk"] < self.nb) & ~jnp.all(lane_done(st))
+
+        def body(st):
+            blk = st["blk"]
+            scur = (blk * K).astype(jnp.int32).reshape(1)
+            ids = jax.lax.dynamic_slice(
+                order, (jnp.int32(0), blk * K), (Bp, K)
+            )  # (Bp, K)
+            hblk = self._Hc[ids]  # (Bp, K, mw) XLA row gather
+            hblk = hblk.transpose(1, 2, 0)  # (K, mw, Bp)
+            idsT = ids.T  # (K, Bp)
+
+            Y = y_prog(scur, st["P"], hblk)
+            W = w_prog(scur, st["C"], Y, hblk)
+            _, b, piv, cnew, prow = elim_prog(idsT, W, st["b"], st["piv"])
+
+            valid = prow < m_pad  # (K, Bp)
+            pcl = jnp.minimum(prow, m_pad - 1)[:, None, :]
+            G = jnp.take_along_axis(st["C"], pcl, axis=0)  # (K, cw, Bp)
+            D = jnp.take_along_axis(cnew, pcl, axis=0)  # (K, kw, Bp)
+            G = jnp.where(valid[:, None, :], G, jnp.uint32(0))
+            D = jnp.where(valid[:, None, :], D, jnp.uint32(0))
+            Pnew = res_prog(scur, st["P"], G, D, prow)
+
+            z = jnp.int32(0)
+            P = jax.lax.dynamic_update_slice(st["P"], Pnew, (blk * K, z, z))
+            C = jax.lax.dynamic_update_slice(
+                st["C"], cnew, (z, blk * kw, z)
+            )
+            piv_col = st["piv_col"].at[
+                jnp.minimum(prow, m_pad), lane
+            ].set(jnp.where(valid, idsT, -1))
+            return dict(P=P, C=C, b=b, piv=piv, piv_col=piv_col,
+                        blk=blk + 1)
+
+        state = jax.lax.while_loop(cond, body, state)
+        overflow = ~lane_done(state)
+        sl = lambda x: x[..., :B] if pad_b else x
+        return (
+            sl(state["b"][: self.m]),
+            sl(state["piv"][: self.m]),
+            sl(state["piv_col"][: self.m]),
+            sl(overflow),
+        )

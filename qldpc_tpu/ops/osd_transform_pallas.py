@@ -128,10 +128,12 @@ def _kernel(
         rank_ref[:] = rank
         lane_done = rank >= h_rank  # (1, bt)
         if b_exit:
-            # OSD-0 shortcut (exact): once a lane's unresolved rows
-            # (>= rank) carry no syndrome bit, every future pivot row gets
-            # b = 0 and contributes nothing to the solution — stop there.
-            # (OSD-e keeps the rank exit: its pattern search reads T.)
+            # b-exit (exact for every OSD order): once a lane's unresolved
+            # rows (>= rank) carry no syndrome bit, every future pivot row
+            # gets b = 0 and contributes nothing to the solution. A b-exited
+            # lane is consistent, so OSD-e's early return applies and its
+            # pattern search never reads this lane's T; inconsistent lanes
+            # keep an unresolved bit forever and still run to rank(H).
             bi = jax.lax.bitcast_convert_type(b_ref[:], jnp.int32)
             unres = jnp.max(
                 jnp.where(row_ids >= rank, bi, 0), axis=0, keepdims=True
