@@ -280,7 +280,8 @@ class MonteCarloEngine:
             err_weight = errors.astype(jnp.int32).sum(-1)
             res_weight = residual.sum(-1)
 
-        logical = jnp.any(logical_vec != 0, axis=-1)
+        vec_logical = jnp.any(logical_vec != 0, axis=-1)
+        logical = vec_logical
         if self._osd is None:
             # BP-only runs count a non-converged decode as a fault == logical
             # error (the CC-50k archives' semantics, SURVEY.md §6 table 2)
@@ -307,6 +308,7 @@ class MonteCarloEngine:
         return Counters(
             trials=jnp.sum(v.astype(jnp.int32)),
             logical_errors=cnt(logical),
+            residual_logicals=cnt(vec_logical),
             bp_converged=cnt(conv),
             bp_faults=cnt(~conv),
             osd_invocations=cnt(osd_used),

@@ -33,6 +33,9 @@ class Counters(NamedTuple):
 
     trials: jax.Array  # () int32
     logical_errors: jax.Array  # () int32 — any(L @ residual) [or BP fault in bp-only mode]
+    residual_logicals: jax.Array  # () int32 — any(L @ residual), NOT or-ed
+    # with BP faults; the notebooks archives count ler = faults + these
+    # (degeneracyCount.ipynb cell 5 increments logical_error twice)
     bp_converged: jax.Array  # () int32
     bp_faults: jax.Array  # () int32 — BP did not reproduce the syndrome
     osd_invocations: jax.Array  # () int32
@@ -55,7 +58,7 @@ class Counters(NamedTuple):
 def zeros_counters() -> Counters:
     z = jnp.zeros((), jnp.int32)
     h = jnp.zeros((HIST_BINS,), jnp.int32)
-    return Counters(z, z, z, z, z, z, z, z, z, z, z, z, h, h, h, h)
+    return Counters(z, z, z, z, z, z, z, z, z, z, z, z, z, h, h, h, h)
 
 
 def counters_to_dict(c: Counters) -> dict:
@@ -72,6 +75,10 @@ def counters_to_dict(c: Counters) -> dict:
         "average_iterations": int(c.sum_iterations) / t,
         # counts (study schema)
         "ler": int(c.logical_errors) / t,
+        "residual_logicals": int(c.residual_logicals),
+        # the notebooks archives' additive ler (degeneracyCount.ipynb:
+        # a BP fault AND a logical residual both increment logical_error)
+        "ler_notebook": (int(c.bp_faults) + int(c.residual_logicals)) / t,
         "BPs_fault": int(c.bp_faults),
         "BPs_miscorrected": int(c.miscorrected),
         "incorrectable": int(c.incorrectable),

@@ -109,13 +109,15 @@ def _y_kernel(scur_ref, p_ref, hblk_ref, y_ref, *, sp, mw, kw, bt):
 # kernel 2: W = H_blk_bits ^ C @ Y   (current RREF bits of the block)
 # --------------------------------------------------------------------------
 def _w_kernel(scur_ref, c_ref, y_ref, hb_ref, w_ref, *, mp, kw, bt):
+    # hb_ref: (mpw, K, bt) — this row-panel's H words, word-major so the
+    # panel slice lands on the (unconstrained) leading block dim
     mpw = mp // _WORD
     # unpack this row-panel's H bits, re-packed along the column axis
     words = []
     for w in range(kw):
         def bit_step(i2, word):
             k = w * _WORD + i2
-            hw = hb_ref[k]  # (mpw, bt) row-words of column k
+            hw = hb_ref[:, k, :]  # (mpw, bt) row-words of column k
             bits = (
                 jnp.broadcast_to(hw[:, None, :], (mpw, _WORD, bt))
                 >> jax.lax.broadcasted_iota(jnp.uint32, (mpw, _WORD, bt), 1)
@@ -149,12 +151,12 @@ def _w_kernel(scur_ref, c_ref, y_ref, hb_ref, w_ref, *, mp, kw, bt):
 # --------------------------------------------------------------------------
 def _elim_kernel(
     ids_ref,  # (K, bt) int32 original column ids (n sentinel on padding)
-    _w_in,    # aliased to w_io (read/write through the out ref)
-    _b_in,
-    _piv_in,
-    w_io,     # in/out alias (m_pad, kw, bt) — consumed
-    b_io,     # in/out alias (m_pad, bt)
-    piv_io,   # in/out alias (m_pad, bt)
+    w_in,     # (m_pad, kw, bt) — aliased with w_io at the HBM level
+    b_in,
+    piv_in,
+    w_io,     # out (m_pad, kw, bt) — working state; VMEM block starts
+    b_io,     # UNDEFINED on TPU (aliasing is HBM-only), so every state
+    piv_io,   # ref is explicitly seeded from its input ref first
     cnew_ref,  # out (m_pad, kw, bt)
     prow_ref,  # out (K, bt) int32, m_pad sentinel where no pivot
     *,
@@ -164,6 +166,9 @@ def _elim_kernel(
     n: int,
 ):
     K = kw * _WORD
+    w_io[:] = w_in[:]
+    b_io[:] = b_in[:]
+    piv_io[:] = piv_in[:]
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (m_pad, bt), 0)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, bt), 0)
     prow = jnp.full((K, bt), m_pad, jnp.int32)
@@ -343,7 +348,7 @@ class FactoredEliminator:
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((s_max, kw, bt), lambda i, j: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, mp // _WORD, bt), lambda i, j: (0, j, i),
+                pl.BlockSpec((mp // _WORD, K, bt), lambda i, j: (j, 0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((mp, kw, bt), lambda i, j: (j, 0, i),
@@ -417,18 +422,45 @@ class FactoredEliminator:
                             constant_values=self.n)
             resid = jnp.pad(resid, ((0, 0), (0, pad_b)))
         Bp = B + pad_b
-        m_pad, K, kw, mw, cw = self.m_pad, self.K, self.kw, self.mw, self.cw
-        y_prog, w_prog, elim_prog, res_prog = self._progs(Bp)
+        bt = self.bt
+        m_pad, K = self.m_pad, self.K
 
         # column schedule, padded with the n sentinel (zero column)
         ncols = self.nb * K
         if order.shape[1] < ncols:
             order = jnp.pad(order, ((0, 0), (0, ncols - order.shape[1])),
                             constant_values=self.n)
+        else:
+            order = order[:, :ncols]
 
-        b0 = jnp.pad(
-            resid.astype(jnp.uint32), ((0, m_pad - self.m), (0, 0))
+        # one lane SLAB (bt lanes) per map step: XLA keeps each pallas
+        # call's whole output tuple in scoped VMEM (~16 MB), so per-call
+        # output bytes must stay small — and each slab's block loop exits
+        # on its own worst lane instead of the whole batch's
+        nslab = Bp // bt
+        order_s = order.reshape(nslab, bt, ncols)
+        resid_s = resid.astype(jnp.uint32).reshape(
+            self.m, nslab, bt
+        ).transpose(1, 0, 2)
+
+        b, piv, piv_col, overflow = jax.lax.map(self._slab, (order_s, resid_s))
+        # (nslab, m, bt) -> (m, B)
+        merge = lambda x: x.transpose(1, 0, 2).reshape(x.shape[1], Bp)
+        sl = lambda x: x[..., :B] if pad_b else x
+        return (
+            sl(merge(b)),
+            sl(merge(piv)),
+            sl(merge(piv_col)),
+            sl(overflow.reshape(Bp)),
         )
+
+    def _slab(self, args):
+        order, resid = args  # (bt, ncols) int32, (m, bt) uint32
+        Bp = self.bt
+        m_pad, K, kw, mw, cw = self.m_pad, self.K, self.kw, self.mw, self.cw
+        y_prog, w_prog, elim_prog, res_prog = self._progs(Bp)
+
+        b0 = jnp.pad(resid, ((0, m_pad - self.m), (0, 0)))
         state = dict(
             P=jnp.zeros((self.s_max, mw, Bp), jnp.uint32),
             C=jnp.zeros((m_pad, cw, Bp), jnp.uint32),
@@ -456,12 +488,13 @@ class FactoredEliminator:
             ids = jax.lax.dynamic_slice(
                 order, (jnp.int32(0), blk * K), (Bp, K)
             )  # (Bp, K)
-            hblk = self._Hc[ids]  # (Bp, K, mw) XLA row gather
-            hblk = hblk.transpose(1, 2, 0)  # (K, mw, Bp)
+            g = self._Hc[ids]  # (Bp, K, mw) XLA row gather
+            hblk = g.transpose(1, 2, 0)  # (K, mw, Bp) for kernel 1
+            hblk_t = g.transpose(2, 1, 0)  # (mw, K, Bp) for kernel 2
             idsT = ids.T  # (K, Bp)
 
             Y = y_prog(scur, st["P"], hblk)
-            W = w_prog(scur, st["C"], Y, hblk)
+            W = w_prog(scur, st["C"], Y, hblk_t)
             _, b, piv, cnew, prow = elim_prog(idsT, W, st["b"], st["piv"])
 
             valid = prow < m_pad  # (K, Bp)
@@ -485,10 +518,9 @@ class FactoredEliminator:
 
         state = jax.lax.while_loop(cond, body, state)
         overflow = ~lane_done(state)
-        sl = lambda x: x[..., :B] if pad_b else x
         return (
-            sl(state["b"][: self.m]),
-            sl(state["piv"][: self.m]),
-            sl(state["piv_col"][: self.m]),
-            sl(overflow),
+            state["b"][: self.m],
+            state["piv"][: self.m],
+            state["piv_col"][: self.m],
+            overflow,
         )

@@ -78,16 +78,20 @@ def main() -> None:
         if not args.skip_bp:
             for sd in ("float32", "bfloat16"):
                 for ck in (8, 16, 32):
-                    kern = DEMPallasBPKernel(
-                        graph, max_iter=args.bp_iters, check_chunk=ck,
-                        stream_dtype=sd,
-                    )
-                    f = jax.jit(lambda s, pr, k=kern: k(s, pr))
-                    t = timed(lambda: f(syn, prior_v))
                     key = f"bp{args.bp_iters}_{sd[:4]}_ck{ck}_B{B}"
-                    row[key] = t
-                    print(f"  {key}: {t*1e3:.0f} ms "
-                          f"({B/t:.0f} samp/s)", flush=True)
+                    try:
+                        kern = DEMPallasBPKernel(
+                            graph, max_iter=args.bp_iters, check_chunk=ck,
+                            stream_dtype=sd,
+                        )
+                        f = jax.jit(lambda s, pr, k=kern: k(s, pr))
+                        t = timed(lambda: f(syn, prior_v))
+                        row[key] = t
+                        print(f"  {key}: {t*1e3:.0f} ms "
+                              f"({B/t:.0f} samp/s)", flush=True)
+                    except Exception as e:
+                        row[key + "_error"] = str(e)[:160]
+                        print(f"  {key}: FAILED {str(e)[:120]}", flush=True)
             # post-BP state for OSD timing (f32 kernel, default chunk)
             kern = DEMPallasBPKernel(graph, max_iter=args.bp_iters)
             values, conv, iters = jax.jit(lambda s, pr: kern(s, pr))(
@@ -123,27 +127,41 @@ def main() -> None:
             print(f"  parity factored==xla: {row[f'osd_parity_B{B}']}")
 
         results[f"B{B}"] = row
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1)
 
     if not args.skip_e2e:
         from qldpc_tpu.mc import DEMEngine, DEMEngineConfig
 
         for B in [int(b) for b in args.batches.split(",") if b]:
-            eng = DEMEngine(
-                pdem,
-                DEMEngineConfig(
-                    bp=BPConfig(max_iter=args.bp_iters, backend="pallas"),
-                    osd=OSDConfig(order=0),
-                    batch_size=B,
-                ),
-                name=args.code,
-            )
-            eng.run_rate(args.p, B, seed=1)  # warm
-            t0 = time.perf_counter()
-            shots = 4 * B
-            eng.run_rate(args.p, shots, seed=2)
-            dt = time.perf_counter() - t0
-            results[f"e2e_B{B}_trials_per_s"] = shots / dt
-            print(f"  e2e B={B}: {shots/dt:.0f} trials/s", flush=True)
+            for sd in ("float32", "bfloat16"):
+                try:
+                    eng = DEMEngine(
+                        pdem,
+                        DEMEngineConfig(
+                            bp=BPConfig(max_iter=args.bp_iters,
+                                        backend="pallas", stream_dtype=sd),
+                            osd=OSDConfig(order=0),
+                            batch_size=B,
+                        ),
+                        name=args.code,
+                    )
+                    eng.run_rate(args.p, B, seed=1)  # warm
+                    t0 = time.perf_counter()
+                    shots = 4 * B
+                    eng.run_rate(args.p, shots, seed=2)
+                    dt = time.perf_counter() - t0
+                    results[f"e2e_B{B}_{sd[:4]}_trials_per_s"] = shots / dt
+                    print(f"  e2e B={B} {sd}: {shots/dt:.0f} trials/s",
+                          flush=True)
+                except Exception as e:  # OOM etc — keep the other cells
+                    results[f"e2e_B{B}_{sd[:4]}_error"] = str(e)[:200]
+                    print(f"  e2e B={B} {sd}: FAILED {str(e)[:120]}",
+                          flush=True)
+                if args.out:
+                    with open(args.out, "w") as f:
+                        json.dump(results, f, indent=1)
 
     if args.out:
         with open(args.out, "w") as f:
