@@ -26,6 +26,7 @@ def main() -> None:
     ap.add_argument("--batches", default="512,1024")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--bp-iters", type=int, default=50)
+    ap.add_argument("--check-chunks", default="8,16")
     ap.add_argument("--skip-xla-osd", action="store_true")
     ap.add_argument("--skip-bp", action="store_true")
     ap.add_argument("--skip-e2e", action="store_true")
@@ -75,9 +76,10 @@ def main() -> None:
         from qldpc_tpu.ops.tanner import TannerGraph
 
         graph = TannerGraph.from_H(H)
+        chunks = [int(c) for c in args.check_chunks.split(",") if c]
         if not args.skip_bp:
             for sd in ("float32", "bfloat16"):
-                for ck in (8, 16, 32):
+                for ck in chunks:
                     key = f"bp{args.bp_iters}_{sd[:4]}_ck{ck}_B{B}"
                     try:
                         kern = DEMPallasBPKernel(
