@@ -90,7 +90,9 @@ def build_engine(
         # multiples of 128 (kernel lane tiles).
         m, n_mech = pdem.H.shape
         dcp = int(np.asarray(pdem.H.sum(1)).max())
-        slot_bytes = (m * dcp * 4) * 6 + n_mech * 12 * 4  # carries + gathers
+        # bf16 streams halve the big slot-space carries (vg/R/r_new)
+        spb = 2 if spec.bp_stream_dtype == "bfloat16" else 4
+        slot_bytes = m * dcp * (3 * spb + 3 * 4) + n_mech * 12 * 4
         max_b = max(128, int(10e9 // max(slot_bytes, 1)) // 128 * 128)
         batch = min(spec.batch_size, max_b)
         if batch < spec.batch_size:

@@ -151,14 +151,15 @@ def _w_kernel(scur_ref, c_ref, y_ref, hb_ref, w_ref, *, mp, kw, bt):
 # --------------------------------------------------------------------------
 def _elim_kernel(
     ids_ref,  # (K, bt) int32 original column ids (n sentinel on padding)
-    w_in,     # (m_pad, kw, bt) — aliased with w_io at the HBM level
+    w_hbm,    # (m_pad, kw, bt) uint32 — stays in HBM, DMA'd to scratch
     b_in,
     piv_in,
-    w_io,     # out (m_pad, kw, bt) — working state; VMEM block starts
-    b_io,     # UNDEFINED on TPU (aliasing is HBM-only), so every state
-    piv_io,   # ref is explicitly seeded from its input ref first
+    b_io,     # out — working state; VMEM out blocks start UNDEFINED on
+    piv_io,   # TPU, so they are explicitly seeded from the input refs
     cnew_ref,  # out (m_pad, kw, bt)
     prow_ref,  # out (K, bt) int32, m_pad sentinel where no pivot
+    w_io,     # VMEM scratch (m_pad, kw, bt) — the only W copy on chip
+    w_sem,    # DMA semaphore
     *,
     m_pad: int,
     kw: int,
@@ -166,9 +167,14 @@ def _elim_kernel(
     n: int,
 ):
     K = kw * _WORD
-    w_io[:] = w_in[:]
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        w_hbm.at[:, :, pl.ds(i * bt, bt)], w_io, w_sem
+    )
+    dma.start()
     b_io[:] = b_in[:]
     piv_io[:] = piv_in[:]
+    dma.wait()
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (m_pad, bt), 0)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, bt), 0)
     prow = jnp.full((K, bt), m_pad, jnp.int32)
@@ -299,12 +305,16 @@ class FactoredEliminator:
         self.K = K = 128
         self.kw = K // _WORD
         self.mp = 128  # kernel-2 row panel
-        self.sp = 256  # P panel (kernel 1)
-        self.sp4 = 128  # P panel (kernel 4 — its VMEM also holds G + Pnew)
         self.m_pad = _round_up(self.m, self.mp)
         self.mw = self.m_pad // _WORD
+        # P panels are double-buffered by the pipeline: keep one panel
+        # under ~3.5 MB so two fit beside the kernel's resident operands
+        # (a 256-row panel OOMed scoped VMEM at [[144,12,12]] scale)
+        sp = 128
+        while sp > 8 and sp * self.mw * batch_tile * 4 > 3.5e6:
+            sp //= 2
+        self.sp = self.sp4 = sp  # kernels 1 and 4 (both stream P)
         nb = max(1, _round_up(min(max_cols, self.n), K) // K)
-        nb = _round_up(nb, self.sp // K)  # S_max must tile into SP panels
         self.nb = nb
         self.s_max = nb * K
         self.cw = self.s_max // _WORD
@@ -368,25 +378,27 @@ class FactoredEliminator:
             grid=(B // bt,),
             in_specs=[
                 full(K, bt),
-                full(m_pad, kw, bt),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # W stays in HBM
                 full(m_pad, bt),
                 full(m_pad, bt),
             ],
             out_specs=(
-                full(m_pad, kw, bt),
                 full(m_pad, bt),
                 full(m_pad, bt),
                 full(m_pad, kw, bt),
                 full(K, bt),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((m_pad, kw, B), jnp.uint32),
                 jax.ShapeDtypeStruct((m_pad, B), jnp.uint32),
                 jax.ShapeDtypeStruct((m_pad, B), jnp.uint32),
                 jax.ShapeDtypeStruct((m_pad, kw, B), jnp.uint32),
                 jax.ShapeDtypeStruct((K, B), jnp.int32),
             ),
-            input_output_aliases={1: 0, 2: 1, 3: 2},
+            scratch_shapes=[
+                pltpu.VMEM((m_pad, kw, bt), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+            ],
+            input_output_aliases={2: 0, 3: 1},
             interpret=ip,
         )
 
@@ -495,7 +507,7 @@ class FactoredEliminator:
 
             Y = y_prog(scur, st["P"], hblk)
             W = w_prog(scur, st["C"], Y, hblk_t)
-            _, b, piv, cnew, prow = elim_prog(idsT, W, st["b"], st["piv"])
+            b, piv, cnew, prow = elim_prog(idsT, W, st["b"], st["piv"])
 
             valid = prow < m_pad  # (K, Bp)
             pcl = jnp.minimum(prow, m_pad - 1)[:, None, :]
