@@ -156,17 +156,23 @@ def _elim_kernel(
     piv_in,
     b_io,     # out — working state; VMEM out blocks start UNDEFINED on
     piv_io,   # TPU, so they are explicitly seeded from the input refs
-    cnew_ref,  # out (m_pad, kw, bt)
+    cnew_hbm,  # out (m_pad, kw, bt) in HBM — written word-by-word via DMA
     prow_ref,  # out (K, bt) int32, m_pad sentinel where no pivot
     w_io,     # VMEM scratch (m_pad, kw, bt) — the only W copy on chip
-    w_sem,    # DMA semaphore
+    cw_scr,   # VMEM scratch (m_pad, bt) — current coefficient word
+    w_sem,
+    c_sem,
     *,
     m_pad: int,
     kw: int,
     bt: int,
     n: int,
+    ep: int,  # row-panel height: bounds one column step's live temps,
+    # which otherwise scale as several (m_pad, bt) arrays and blow the
+    # Mosaic VMEM stack past ~1.5k rows (measured at [[144,12,12]] scale)
 ):
     K = kw * _WORD
+    NP = m_pad // ep
     i = pl.program_id(0)
     dma = pltpu.make_async_copy(
         w_hbm.at[:, :, pl.ds(i * bt, bt)], w_io, w_sem
@@ -175,39 +181,69 @@ def _elim_kernel(
     b_io[:] = b_in[:]
     piv_io[:] = piv_in[:]
     dma.wait()
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (m_pad, bt), 0)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, bt), 0)
     prow = jnp.full((K, bt), m_pad, jnp.int32)
+    rid_p = jax.lax.broadcasted_iota(jnp.int32, (ep, bt), 0)
 
     for w in range(kw):
-        def bit_step(i2, carry):
-            cword, prow = carry
+        cw_scr[:] = jnp.zeros((m_pad, bt), jnp.uint32)
+
+        def bit_step(i2, prow):
             j = w * _WORD + i2
-            bits = (w_io[:, w, :] >> i2.astype(jnp.uint32)) & jnp.uint32(1)
-            valid_col = ids_ref[j][None, :] < n  # (1, bt) -> broadcast
-            cand = (bits == 1) & (piv_io[:] == 0) & valid_col
-            idx = jnp.min(
-                jnp.where(cand, row_ids, m_pad), axis=0, keepdims=True
-            )  # (1, bt)
+            i2u = i2.astype(jnp.uint32)
+            valid_col = ids_ref[j][None, :] < n  # (1, bt)
+
+            # pass A: global first-candidate row (min over row panels)
+            idx = jnp.full((1, bt), m_pad, jnp.int32)
+            for p in range(NP):
+                r0 = p * ep
+                bits = (w_io[r0:r0 + ep, w, :] >> i2u) & jnp.uint32(1)
+                cand = (
+                    (bits == 1) & (piv_io[r0:r0 + ep, :] == 0) & valid_col
+                )
+                idx = jnp.minimum(
+                    idx,
+                    jnp.min(jnp.where(cand, rid_p + r0, m_pad), axis=0,
+                            keepdims=True),
+                )
             has = idx < m_pad
-            oh = row_ids == idx
 
-            bp = _select_sum(b_io[:], oh)  # (1, bt)
-            elim = ((bits == 1) & ~oh & has).astype(jnp.uint32)
-            for ww in range(kw):
-                wp = _select_sum(w_io[:, ww, :], oh)
-                w_io[:, ww, :] = w_io[:, ww, :] ^ (elim * wp)
-            b_io[:] = b_io[:] ^ (elim * bp)
-            piv_io[:] = piv_io[:] | (oh & has).astype(jnp.uint32)
-            cword = cword ^ (elim << i2.astype(jnp.uint32))
-            prow = jnp.where(k_iota == j, idx, prow)
-            return cword, prow
+            # pass B: pivot row's W words + b bit (exactly one panel hits)
+            bp = jnp.zeros((1, bt), jnp.uint32)
+            wps = [jnp.zeros((1, bt), jnp.uint32) for _ in range(kw)]
+            for p in range(NP):
+                r0 = p * ep
+                oh = (rid_p + r0) == idx
+                bp = bp ^ _select_sum(b_io[r0:r0 + ep, :], oh)
+                for ww in range(kw):
+                    wps[ww] = wps[ww] ^ _select_sum(
+                        w_io[r0:r0 + ep, ww, :], oh
+                    )
 
-        cword, prow = jax.lax.fori_loop(
-            0, _WORD, bit_step,
-            (jnp.zeros((m_pad, bt), jnp.uint32), prow),
+            # pass C: eliminate the bit everywhere else
+            for p in range(NP):
+                r0 = p * ep
+                bits = (w_io[r0:r0 + ep, w, :] >> i2u) & jnp.uint32(1)
+                oh = (rid_p + r0) == idx
+                elim = ((bits == 1) & ~oh & has).astype(jnp.uint32)
+                for ww in range(kw):
+                    w_io[r0:r0 + ep, ww, :] = (
+                        w_io[r0:r0 + ep, ww, :] ^ (elim * wps[ww])
+                    )
+                b_io[r0:r0 + ep, :] = b_io[r0:r0 + ep, :] ^ (elim * bp)
+                piv_io[r0:r0 + ep, :] = (
+                    piv_io[r0:r0 + ep, :] | (oh & has).astype(jnp.uint32)
+                )
+                cw_scr[r0:r0 + ep, :] = cw_scr[r0:r0 + ep, :] ^ (elim << i2u)
+
+            return jnp.where(k_iota == j, idx, prow)
+
+        prow = jax.lax.fori_loop(0, _WORD, bit_step, prow)
+        out_dma = pltpu.make_async_copy(
+            cw_scr, cnew_hbm.at[:, w, pl.ds(i * bt, bt)], c_sem
         )
-        cnew_ref[:, w, :] = cword
+        out_dma.start()
+        out_dma.wait()
 
     prow_ref[:] = prow
 
@@ -314,6 +350,12 @@ class FactoredEliminator:
         while sp > 8 and sp * self.mw * batch_tile * 4 > 3.5e6:
             sp //= 2
         self.sp = self.sp4 = sp  # kernels 1 and 4 (both stream P)
+        # elimination row panel: largest divisor of m_pad that is a
+        # multiple of 8 and <= 512 (bounds per-column-step live temps)
+        self.ep = max(
+            d for d in range(8, min(self.m_pad, 512) + 1, 8)
+            if self.m_pad % d == 0
+        )
         nb = max(1, _round_up(min(max_cols, self.n), K) // K)
         self.nb = nb
         self.s_max = nb * K
@@ -373,7 +415,8 @@ class FactoredEliminator:
         )
         elim_prog = pl.pallas_call(
             functools.partial(
-                _elim_kernel, m_pad=m_pad, kw=kw, bt=bt, n=self.n
+                _elim_kernel, m_pad=m_pad, kw=kw, bt=bt, n=self.n,
+                ep=self.ep,
             ),
             grid=(B // bt,),
             in_specs=[
@@ -385,7 +428,7 @@ class FactoredEliminator:
             out_specs=(
                 full(m_pad, bt),
                 full(m_pad, bt),
-                full(m_pad, kw, bt),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # DMA'd per word
                 full(K, bt),
             ),
             out_shape=(
@@ -396,6 +439,8 @@ class FactoredEliminator:
             ),
             scratch_shapes=[
                 pltpu.VMEM((m_pad, kw, bt), jnp.uint32),
+                pltpu.VMEM((m_pad, bt), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
             input_output_aliases={2: 0, 3: 1},
