@@ -428,7 +428,7 @@ class FactoredEliminator:
             out_specs=(
                 full(m_pad, bt),
                 full(m_pad, bt),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # DMA'd per word
+                pl.BlockSpec(memory_space=pltpu.HBM),  # DMA'd per word
                 full(K, bt),
             ),
             out_shape=(
