@@ -174,12 +174,17 @@ def _elim_kernel(
     K = kw * _WORD
     NP = m_pad // ep
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(
-        w_hbm.at[:, :, pl.ds(i * bt, bt)], w_io, w_sem
-    )
+    lanes = pl.ds(i * bt, bt)
+    dma = pltpu.make_async_copy(w_hbm.at[:, :, lanes], w_io, w_sem)
     dma.start()
-    b_io[:] = b_in[:]
-    piv_io[:] = piv_in[:]
+    # b/piv inputs are HBM-resident (saves their VMEM in-blocks): seed the
+    # aliased out blocks by DMA before any writeback can occur
+    dma_b = pltpu.make_async_copy(b_in.at[:, lanes], b_io, c_sem)
+    dma_b.start()
+    dma_b.wait()
+    dma_p = pltpu.make_async_copy(piv_in.at[:, lanes], piv_io, c_sem)
+    dma_p.start()
+    dma_p.wait()
     dma.wait()
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, bt), 0)
     prow = jnp.full((K, bt), m_pad, jnp.int32)
@@ -286,29 +291,34 @@ def _resolve_kernel(
 
     @pl.when(pl.program_id(1) == last)
     def _finish():
-        acc = pnew_ref[:]
-        # e_{p_j}: one bit at the pivot's own row (sentinel m_pad lands in
-        # word m_pad//32 == mw, beyond every real word -> no contribution)
+        # e_{p_j}: one bit at the pivot's own row, applied word-by-word to
+        # keep live temporaries at (K, bt) (sentinel m_pad lands in word
+        # m_pad//32 == mw, beyond every real word -> no contribution)
         pr = prow_ref[:]  # (K, bt) int32
         prw = pr >> 5
         prb = (pr & 31).astype(jnp.uint32)
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (K, mw, bt), 1)
-        e = (prw[:, None, :] == w_iota).astype(jnp.uint32) << prb[:, None, :]
-        acc = acc ^ e
+        for w in range(mw):
+            ew = (prw == w).astype(jnp.uint32) << prb
+            pnew_ref[:, w, :] = pnew_ref[:, w, :] ^ ew
         # intra-block resolve in pivot order. D rows are NOT lower
         # triangular — full RREF lets a later pivot j2 > j eliminate
         # *above* into pivot row j — but only ops BEFORE row j's own pivot
         # time (j2 < j) belong in its frozen P value, so mask to the
-        # strictly-lower triangle; acc[j2] is then final before any later
-        # row consumes it
+        # strictly-lower triangle; row j2 is then final before any later
+        # row consumes it. In-place on the out ref (a value-carried acc
+        # doubles the live VMEM at (K, mw, bt) scale).
         j_iota = jax.lax.broadcasted_iota(jnp.int32, (K, 1, bt), 0)
-        for j2 in range(K):
+
+        def j_step(j2, _):
             dmask = (
-                d_ref[:, j2 // _WORD, :] >> jnp.uint32(j2 % _WORD)
+                d_ref[:, j2 // _WORD, :]
+                >> (j2 % _WORD).astype(jnp.uint32)
             ) & jnp.uint32(1)
             dmask = dmask[:, None, :] * (j_iota > j2).astype(jnp.uint32)
-            acc = acc ^ (dmask * acc[j2][None, :, :])
-        pnew_ref[:] = acc
+            pnew_ref[:] = pnew_ref[:] ^ (dmask * pnew_ref[j2][None, :, :])
+            return 0
+
+        jax.lax.fori_loop(0, K, j_step, 0)
 
 
 class FactoredEliminator:
@@ -351,9 +361,9 @@ class FactoredEliminator:
             sp //= 2
         self.sp = self.sp4 = sp  # kernels 1 and 4 (both stream P)
         # elimination row panel: largest divisor of m_pad that is a
-        # multiple of 8 and <= 512 (bounds per-column-step live temps)
+        # multiple of 8 and <= 256 (bounds per-column-step live temps)
         self.ep = max(
-            d for d in range(8, min(self.m_pad, 512) + 1, 8)
+            d for d in range(8, min(self.m_pad, 256) + 1, 8)
             if self.m_pad % d == 0
         )
         nb = max(1, _round_up(min(max_cols, self.n), K) // K)
@@ -422,8 +432,8 @@ class FactoredEliminator:
             in_specs=[
                 full(K, bt),
                 pl.BlockSpec(memory_space=pltpu.ANY),  # W stays in HBM
-                full(m_pad, bt),
-                full(m_pad, bt),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # b — DMA'd in
+                pl.BlockSpec(memory_space=pltpu.ANY),  # piv — DMA'd in
             ],
             out_specs=(
                 full(m_pad, bt),
