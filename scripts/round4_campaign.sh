@@ -1,0 +1,54 @@
+#!/bin/bash
+# Round-4 TPU measurement + study campaign (one v5e chip, runs serialized).
+# Stages are idempotent-ish (results land in results/); run selectively:
+#   bash scripts/round4_campaign.sh studies     # circuit-level LER studies
+#   bash scripts/round4_campaign.sh bf16        # bf16 stream LER validation
+#   bash scripts/round4_campaign.sh notebooks   # notebooks archive workloads
+#   bash scripts/round4_campaign.sh bpiter      # BP-iteration study (10k)
+#   bash scripts/round4_campaign.sh perf        # batch anomaly + OSD-e wide
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+GRID="0.0005 0.001 0.0015 0.002 0.003 0.004"
+stage="${1:-all}"
+
+run_study() { # code slug
+  python -m qldpc_tpu.experiments.cli run complete-bposd \
+    --codes "$1" --trials 10000 --error-rates $GRID \
+    --out "results/circuit_ler_r4_$2" 2>&1 | grep -v WARNING
+}
+
+if [ "$stage" = studies ] || [ "$stage" = all ]; then
+  run_study "[[144, 12, 12]]" 144
+  run_study "[[90, 8, 10]]" 90
+  run_study "[[108, 8, 10]]" 108
+fi
+
+if [ "$stage" = bf16 ] || [ "$stage" = all ]; then
+  # item 2: measure + validate bf16 streams at >=10k trials on two codes
+  python -m qldpc_tpu.experiments.cli run complete-bposd \
+    --codes "[[72, 12, 6]]" "[[144, 12, 12]]" --trials 10000 \
+    --error-rates 0.001 0.002 --set bp_stream_dtype=bfloat16 \
+    --out results/circuit_bf16_val 2>&1 | grep -v WARNING
+fi
+
+if [ "$stage" = notebooks ] || [ "$stage" = all ]; then
+  python scripts/validate_baseline.py --trials 10000 \
+    --workloads notebooks-bp notebooks-bposd \
+    --out results/validation_r4_notebooks 2>&1 | grep -v WARNING
+fi
+
+if [ "$stage" = bpiter ] || [ "$stage" = all ]; then
+  # BASELINE: the reference's BP_per_Iteration.py archive was never
+  # committed (data/BP_per_Iteration.npz is absent from the repo), so this
+  # is our own 10k-trial realization of that study, not an archive match
+  python -m qldpc_tpu.experiments.cli run bp-iteration \
+    --codes "[[72, 12, 6]]" "[[144, 12, 12]]" --trials 10000 \
+    --out results/bp_iteration_r4 2>&1 | grep -v WARNING
+fi
+
+if [ "$stage" = perf ] || [ "$stage" = all ]; then
+  python scripts/profile_dem_batch.py --batches 1024,2048,4096 \
+    --out results/dem_batch_profile.json 2>&1 | grep -v WARNING
+  python scripts/bench_osde_wide.py 2>&1 | grep -v WARNING | tail -20
+fi

@@ -150,15 +150,18 @@ NB_REF_TRIALS = 10_000
 def bars(p_ref, n_ref, p_got, n_got, sigmas=3.0, rel=0.0):
     """Two-sample binomial comparison tolerance.
 
-    ``rel`` adds a relative slack used for the BP-only workload: BP *failure
-    rates* are implementation-sensitive (float precision, product-of-others
-    formulation, message ordering all shift the convergence of oscillating
-    samples), and the CC-50k archive's exact driver is not in the reference
-    repo. A faithful float64 reimplementation of the reference decoder lands
-    2-3 sigma off the archive on several cells itself, with our decoder
-    consistently equal-or-better; 25% relative bars catch real regressions
-    without failing on that sensitivity. BP+OSD cells (the well-defined
-    workload) use pure binomial bars and match with no slack.
+    ``rel`` adds a relative slack used for the BP-only workloads: BP
+    *failure rates* are implementation-sensitive, and since round 4 that is
+    a measurement, not an argument — scripts/bp_sensitivity.py decodes
+    identical syndrome sets through the f32 production decoder, a f64 build
+    of the same algorithm, and a f64 decoder with the reference's exact
+    formulation: per-sample convergence disagreement reaches 1e-2 at
+    p=0.05, with a worst-case relative LER delta of 6.7% on cells with
+    LER >= 1e-3 (docs/bp_sensitivity.md). rel=0.15 (~2x that worst case,
+    allowing the archive's unknown third implementation the same step)
+    catches real regressions without failing on measured sensitivity.
+    BP+OSD cells (deterministic given syndrome + LLR order) use pure
+    binomial bars and match with no slack.
     """
     var = p_ref * (1 - p_ref) / n_ref + p_got * (1 - p_got) / n_got
     return sigmas * np.sqrt(max(var, 1e-12)) + 2.0 / min(n_ref, n_got) + rel * p_ref
@@ -172,7 +175,7 @@ WORKLOADS = {
     ),
     "bp-only": dict(
         ref=BP_REF, ref_trials=BP_REF_TRIALS, grid=P_GRID,
-        bp=dict(max_iter=50), osd=None, channel="code-capacity", rel=0.25,
+        bp=dict(max_iter=50), osd=None, channel="code-capacity", rel=0.15,
     ),
     "doubled+osde7": dict(
         ref=DOUBLED_REF, ref_trials=DOUBLED_REF_TRIALS, grid=GRID_B,
@@ -205,7 +208,7 @@ WORKLOADS = {
     "notebooks-bp": dict(
         ref=NB_BP_REF, ref_trials=NB_REF_TRIALS, grid=P_GRID,
         bp=dict(max_iter=50), osd=None, channel="code-capacity",
-        rel=0.25, metric="ler_notebook",  # BP failure rates are
+        rel=0.15, metric="ler_notebook",  # BP failure rates are
         # implementation-sensitive — same slack rationale as bp-only
     ),
     "notebooks-bposd": dict(
