@@ -346,19 +346,44 @@ class FactoredEliminator:
         H = (np.asarray(H) % 2).astype(np.uint8)
         self.m, self.n = H.shape
         self.h_rank = int(h_rank)
-        self.bt = batch_tile
         self.interpret = interpret
         self.K = K = 128
         self.kw = K // _WORD
         self.mp = 128  # kernel-2 row panel
         self.m_pad = _round_up(self.m, self.mp)
         self.mw = self.m_pad // _WORD
-        # P panels are double-buffered by the pipeline: keep one panel
-        # under ~3.5 MB so two fit beside the kernel's resident operands
-        # (a 256-row panel OOMed scoped VMEM at [[144,12,12]] scale)
-        sp = 128
-        while sp > 8 and sp * self.mw * batch_tile * 4 > 3.5e6:
-            sp //= 2
+        nb = max(1, _round_up(min(max_cols, self.n), K) // K)
+        self.nb = nb
+        self.s_max = nb * K
+        self.cw = self.s_max // _WORD
+        # batch tile: largest power of two <= batch_tile whose worst kernel
+        # fits scoped VMEM. The elimination kernel's residents scale as
+        # m_pad * bt * (kw + 3) words and the resolve kernel's as
+        # K * bt * (mw + cw + kw) + two streamed P panels — at
+        # [[288,12,18]] DEM scale (m_pad = 5248) bt = 128 is ~19 MB and
+        # must drop to 64. The 15.5 MB budget is calibrated on the
+        # measured-compiling [[144,12,12]] configuration (~15.2 MB).
+        bt = batch_tile
+        while bt > 8:
+            sp = 128
+            while sp > 8 and sp * self.mw * bt * 4 > 3.5e6:
+                sp //= 2
+            elim = self.m_pad * bt * 4 * (self.kw + 3) + 2 * K * bt * 4
+            resolve = (
+                K * bt * 4 * (self.mw + self.cw + self.kw + 1)
+                + 2 * sp * self.mw * bt * 4
+            )
+            y = K * self.mw * bt * 4 + 2 * sp * self.mw * bt * 4
+            wk = (
+                2 * self.mp * self.cw * bt * 4
+                + self.s_max * self.kw * bt * 4
+                + 2 * (self.mp // _WORD) * K * bt * 4
+                + self.mp * self.kw * bt * 4
+            )
+            if max(elim, resolve, y, wk) <= 15.5e6:
+                break
+            bt //= 2
+        self.bt = bt
         self.sp = self.sp4 = sp  # kernels 1 and 4 (both stream P)
         # elimination row panel: largest divisor of m_pad that is a
         # multiple of 8 and <= 256 (bounds per-column-step live temps)
@@ -366,10 +391,6 @@ class FactoredEliminator:
             d for d in range(8, min(self.m_pad, 256) + 1, 8)
             if self.m_pad % d == 0
         )
-        nb = max(1, _round_up(min(max_cols, self.n), K) // K)
-        self.nb = nb
-        self.s_max = nb * K
-        self.cw = self.s_max // _WORD
 
         Hp = np.pad(H, ((0, self.m_pad - self.m), (0, 0)))
         Ht = Hp.T.astype(np.uint32).reshape(self.n, self.mw, _WORD)
