@@ -149,9 +149,12 @@ def main() -> None:
                         ),
                         name=args.code,
                     )
-                    eng.run_rate(args.p, B, seed=1)  # warm
-                    t0 = time.perf_counter()
+                    # warm the EXACT (program, shape): run_rate compiles per
+                    # fused-batch count nb, so the warm call must use the
+                    # same shot count as the timed one (CLAUDE.md trap)
                     shots = 4 * B
+                    eng.run_rate(args.p, shots, seed=1)
+                    t0 = time.perf_counter()
                     eng.run_rate(args.p, shots, seed=2)
                     dt = time.perf_counter() - t0
                     results[f"e2e_B{B}_{sd[:4]}_trials_per_s"] = shots / dt

@@ -24,6 +24,15 @@ if [ "$stage" = studies ] || [ "$stage" = all ]; then
   run_study "[[108, 8, 10]]" 108
 fi
 
+if [ "$stage" = 288 ] || [ "$stage" = all ]; then
+  # [[288,12,18]] rounds=18: the largest DEM (VERDICT item 3's clamp
+  # validation); 4-point grid keeps the wall-clock bounded
+  python -m qldpc_tpu.experiments.cli run complete-bposd \
+    --codes "[[288, 12, 18]]" --trials 10000 \
+    --error-rates 0.001 0.0015 0.002 0.003 \
+    --out results/circuit_ler_r4_288 2>&1 | grep -v WARNING
+fi
+
 if [ "$stage" = bf16 ] || [ "$stage" = all ]; then
   # item 2: measure + validate bf16 streams at >=10k trials on two codes
   python -m qldpc_tpu.experiments.cli run complete-bposd \
