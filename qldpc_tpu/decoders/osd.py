@@ -88,8 +88,10 @@ class OSDConfig:
     # compaction tier sizes; interpret-mode on CPU) | "factored" (T-free
     # blocked elimination, ops/osd_factored.py — the only fast path at
     # [[144,12,12]]+ DEM scale where the m x m transform exceeds VMEM)
-    max_elim_cols: int = 2048  # factored backend: column budget (raise for
-    # very high physical rates; overflow is surfaced, never silent)
+    max_elim_cols: int = 2048  # factored backend: column budget floor. The
+    # decoder auto-raises it to rank(H) + 512: the b-exit depth on in-image
+    # syndromes tracks rank(H) (measured [[144]]/[[288]] DEMs: rank + ~150),
+    # and a short budget would silently mis-solve overflowing lanes
     chunk: int = 64  # OSD-e: samples per lax.map chunk (bounds the
     # (chunk x patterns x m) pattern-search workspace)
     batch_tile: int = 256  # pallas backend: lanes per kernel instance
@@ -205,7 +207,14 @@ class OSDDecoder:
             self._factored = FactoredEliminator(
                 H,
                 h_rank=self._H_rank,
-                max_cols=config.max_elim_cols,
+                # auto-size: b-exit depth tracks rank(H) (+ ~150 measured
+                # slack at [[144]]/[[288]] DEM scale), so the static budget
+                # must clear it or overflowing lanes would silently
+                # mis-solve ([[288]] DEM: rank ~5180 vs the 2048 default)
+                max_cols=max(
+                    config.max_elim_cols,
+                    min(self.n, self._H_rank + 512),
+                ),
                 interpret=jax.default_backend() != "tpu",
             )
         # dense device copies of H, for the paths that need them. The wide

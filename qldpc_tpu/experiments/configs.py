@@ -166,11 +166,16 @@ PRESETS: dict[str, ExperimentSpec] = {
     # pallas kernel: obs-err is flat in max_iter from 10 to 100 (OSD decodes
     # from the LLR ordering, which saturates early — results/
     # dem_iters_study.json), so 50 is a quality-safe budget; batch 1024 is
-    # the kernel's measured-best lane count
+    # the kernel's measured-best lane count. bf16 message streams are the
+    # round-4 default: 1.9x BP throughput and e2e 348 vs 221 trials/s on
+    # the [[144]] DEM (results/bench_circuit144_r4.json), LER within
+    # binomial bars at 10k trials on [[72]] and [[144]]
+    # (results/circuit_bf16_val); pass --set bp_stream_dtype=float32 to
+    # bit-match the XLA slot path instead
     "complete-bposd": ExperimentSpec(
         name="complete-bposd", channel="circuit-level", trials=1000,
         bp_max_iter=50, osd_order=0, batch_size=1024,
-        bp_backend="pallas",
+        bp_backend="pallas", bp_stream_dtype="bfloat16",
         error_rates=[0.0005, 0.001, 0.002, 0.003],
     ),
     # studies/studyTT.py — space-time decoding, implemented correctly

@@ -108,42 +108,53 @@ def _y_kernel(scur_ref, p_ref, hblk_ref, y_ref, *, sp, mw, kw, bt):
 # --------------------------------------------------------------------------
 # kernel 2: W = H_blk_bits ^ C @ Y   (current RREF bits of the block)
 # --------------------------------------------------------------------------
-def _w_kernel(scur_ref, c_ref, y_ref, hb_ref, w_ref, *, mp, kw, bt):
+def _w_kernel(scur_ref, c_ref, y_ref, hb_ref, w_ref, *, mp, kw, bt, cwp):
     # hb_ref: (mpw, K, bt) — this row-panel's H words, word-major so the
-    # panel slice lands on the (unconstrained) leading block dim
+    # panel slice lands on the (unconstrained) leading block dim.
+    # c_ref: (mp, cwp, bt) — ONE cwp-word panel of this row-panel's C
+    # (the full (mp, cw, bt) block blows VMEM at [[288]] DEM scale where
+    # cw ~ 190); the grid's last (fastest) axis walks the panels and the
+    # output block accumulates across them.
     mpw = mp // _WORD
-    # unpack this row-panel's H bits, re-packed along the column axis
-    words = []
-    for w in range(kw):
-        def bit_step(i2, word):
-            k = w * _WORD + i2
-            hw = hb_ref[:, k, :]  # (mpw, bt) row-words of column k
-            bits = (
-                jnp.broadcast_to(hw[:, None, :], (mpw, _WORD, bt))
-                >> jax.lax.broadcasted_iota(jnp.uint32, (mpw, _WORD, bt), 1)
-            ) & jnp.uint32(1)
-            bits = bits.reshape(mp, bt)
-            return word ^ (bits << i2.astype(jnp.uint32))
+    c_idx = pl.program_id(2)
 
-        words.append(
-            jax.lax.fori_loop(0, _WORD, bit_step,
-                              jnp.zeros((mp, bt), jnp.uint32))[:, None, :]
-        )
-    acc = jnp.concatenate(words, axis=1)  # (mp, kw, bt)
+    @pl.when(c_idx == 0)
+    def _init():
+        # unpack this row-panel's H bits, re-packed along the column axis
+        words = []
+        for w in range(kw):
+            def bit_step(i2, word):
+                k = w * _WORD + i2
+                hw = hb_ref[:, k, :]  # (mpw, bt) row-words of column k
+                bits = (
+                    jnp.broadcast_to(hw[:, None, :], (mpw, _WORD, bt))
+                    >> jax.lax.broadcasted_iota(
+                        jnp.uint32, (mpw, _WORD, bt), 1
+                    )
+                ) & jnp.uint32(1)
+                bits = bits.reshape(mp, bt)
+                return word ^ (bits << i2.astype(jnp.uint32))
 
-    # C @ Y: per coefficient word, 32 statically-unrolled bit terms (rows of
-    # Y past scur are zero, so word-granular overshoot contributes nothing)
-    def word_step(sw, acc):
-        cm = c_ref[:, sw, :]  # (mp, bt)
+            words.append(
+                jax.lax.fori_loop(0, _WORD, bit_step,
+                                  jnp.zeros((mp, bt), jnp.uint32))[:, None, :]
+            )
+        w_ref[:] = jnp.concatenate(words, axis=1)  # (mp, kw, bt)
+
+    # C @ Y over this panel's words: 32 statically-unrolled bit terms per
+    # word (rows of Y past scur are zero, so word-granular overshoot
+    # contributes nothing)
+    def word_step(swl, acc):
+        cm = c_ref[:, swl, :]  # (mp, bt)
         for i3 in range(_WORD):
             mask = (cm >> jnp.uint32(i3)) & jnp.uint32(1)
-            y = y_ref[sw * _WORD + i3]  # (kw, bt)
+            y = y_ref[(c_idx * cwp + swl) * _WORD + i3]  # (kw, bt)
             acc = acc ^ (mask[:, None, :] * y[None, :, :])
         return acc
 
     n_words = (scur_ref[0] + _WORD - 1) // _WORD
-    acc = jax.lax.fori_loop(0, n_words, word_step, acc)
-    w_ref[:] = acc
+    n_loc = jnp.clip(n_words - c_idx * cwp, 0, cwp)
+    w_ref[:] = jax.lax.fori_loop(0, n_loc, word_step, w_ref[:])
 
 
 # --------------------------------------------------------------------------
@@ -330,8 +341,9 @@ class FactoredEliminator:
     The OSD-0 solution is ``corr[piv_col[r]] = b[r]`` over pivoted rows —
     bit-identical to decoders/osd.py::_eliminate_lanes_T's solution.
     ``overflow`` lanes ran out of column budget before resolving (raise
-    ``max_cols``); with the default budget this never fires on in-image
-    DEM syndromes (validated in the engine tests).
+    ``max_cols``); the decoder auto-sizes the budget to rank(H) + 512,
+    which clears the measured b-exit depth of in-image DEM syndromes
+    (rank + ~150 at [[144]]/[[288]] scale).
     """
 
     def __init__(
@@ -347,44 +359,60 @@ class FactoredEliminator:
         self.m, self.n = H.shape
         self.h_rank = int(h_rank)
         self.interpret = interpret
-        self.K = K = 128
-        self.kw = K // _WORD
         self.mp = 128  # kernel-2 row panel
         self.m_pad = _round_up(self.m, self.mp)
         self.mw = self.m_pad // _WORD
-        nb = max(1, _round_up(min(max_cols, self.n), K) // K)
-        self.nb = nb
-        self.s_max = nb * K
-        self.cw = self.s_max // _WORD
-        # batch tile: largest power of two <= batch_tile whose worst kernel
-        # fits scoped VMEM. The elimination kernel's residents scale as
-        # m_pad * bt * (kw + 3) words and the resolve kernel's as
-        # K * bt * (mw + cw + kw) + two streamed P panels — at
-        # [[288,12,18]] DEM scale (m_pad = 5248) bt = 128 is ~19 MB and
-        # must drop to 64. The 15.5 MB budget is calibrated on the
-        # measured-compiling [[144,12,12]] configuration (~15.2 MB).
-        bt = batch_tile
-        while bt > 8:
-            sp = 128
-            while sp > 8 and sp * self.mw * bt * 4 > 3.5e6:
-                sp //= 2
-            elim = self.m_pad * bt * 4 * (self.kw + 3) + 2 * K * bt * 4
-            resolve = (
-                K * bt * 4 * (self.mw + self.cw + self.kw + 1)
-                + 2 * sp * self.mw * bt * 4
-            )
-            y = K * self.mw * bt * 4 + 2 * sp * self.mw * bt * 4
-            wk = (
-                2 * self.mp * self.cw * bt * 4
-                + self.s_max * self.kw * bt * 4
-                + 2 * (self.mp // _WORD) * K * bt * 4
-                + self.mp * self.kw * bt * 4
-            )
-            if max(elim, resolve, y, wk) <= 15.5e6:
-                break
-            bt //= 2
+        # VMEM fitting. The batch tile bt is the LANE (minor) dim of every
+        # block, and Mosaic requires lane slices to stay 128-aligned
+        # (bt = 64 fails to compile: "Slice shape along dimension 2 must be
+        # aligned to tiling (128)") — so past-VMEM configurations shrink the
+        # column-block width K instead: the elimination kernel's dominant
+        # residents scale as m_pad * bt * (kw + 3) words. At [[288,12,18]]
+        # DEM scale (m_pad = 5248) K drops 128 -> 64 (13.4 MB); the
+        # [[144,12,12]] configuration keeps K = 128 (measured-compiling).
+        bt = max(128, batch_tile // 128 * 128)
         self.bt = bt
-        self.sp = self.sp4 = sp  # kernels 1 and 4 (both stream P)
+        K = 128
+        while K > 32:
+            if self.m_pad * bt * 4 * (K // _WORD + 3) + 2 * K * bt * 4 <= 15.5e6:
+                break
+            K //= 2
+        if self.m_pad * bt * 4 * (K // _WORD + 3) + 2 * K * bt * 4 > 17e6:
+            raise ValueError(
+                f"factored eliminator: m_pad={self.m_pad} cannot fit scoped "
+                "VMEM even at K=32; use the XLA 'lanes' backend"
+            )
+        self.K, self.kw = K, K // _WORD
+        # column budget. b-exit depth on in-image syndromes tracks rank(H)
+        # (measured: [[144]] DEM ~1827 of rank ~1700s, [[288]] DEM ~5330 of
+        # rank ~5180 — scripts round-4 probe), so the caller auto-raises
+        # max_cols to rank + slack. s_max is rounded to a multiple of 1024
+        # (when above it) so kernel 2's C panel width cwp divides cw evenly.
+        ncols = min(max_cols, self.n)
+        s_max = (
+            _round_up(ncols, 1024) if ncols > 1024 else _round_up(ncols, K)
+        )
+        self.nb = _round_up(ncols, K) // K
+        self.s_max = s_max
+        self.cw = cw = s_max // _WORD
+        self.cwp = 32 if (cw > 32 and cw % 32 == 0) else cw
+        # kernels 1 and 4 stream P in sp-row panels sized to their own
+        # VMEM residents (kernel 4 additionally holds the (K, cw, bt)
+        # gathered-C rows and the (K, mw, bt) accumulator)
+        sp = 128
+        while sp > 8 and (
+            K * self.mw * bt * 4 + 2 * sp * self.mw * bt * 4 > 15.0e6
+        ):
+            sp //= 2
+        self.sp = sp
+        sp4 = 128
+        while sp4 > 8 and (
+            K * bt * 4 * (self.mw + cw + self.kw + 1)
+            + 2 * sp4 * self.mw * bt * 4
+            > 15.0e6
+        ):
+            sp4 //= 2
+        self.sp4 = sp4
         # elimination row panel: largest divisor of m_pad that is a
         # multiple of 8 and <= 256 (bounds per-column-step live temps)
         self.ep = max(
@@ -422,19 +450,20 @@ class FactoredEliminator:
             interpret=ip,
         )
 
+        cwp = self.cwp
         w_prog = pl.pallas_call(
-            functools.partial(_w_kernel, mp=mp, kw=kw, bt=bt),
-            grid=(B // bt, m_pad // mp),
+            functools.partial(_w_kernel, mp=mp, kw=kw, bt=bt, cwp=cwp),
+            grid=(B // bt, m_pad // mp, cw // cwp),
             in_specs=[
                 smem,
-                pl.BlockSpec((mp, cw, bt), lambda i, j: (j, 0, i),
+                pl.BlockSpec((mp, cwp, bt), lambda i, j, c: (j, c, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((s_max, kw, bt), lambda i, j: (0, 0, i),
+                pl.BlockSpec((s_max, kw, bt), lambda i, j, c: (0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((mp // _WORD, K, bt), lambda i, j: (j, 0, i),
+                pl.BlockSpec((mp // _WORD, K, bt), lambda i, j, c: (j, 0, i),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((mp, kw, bt), lambda i, j: (j, 0, i),
+            out_specs=pl.BlockSpec((mp, kw, bt), lambda i, j, c: (j, 0, i),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((m_pad, kw, B), jnp.uint32),
             interpret=ip,
