@@ -165,11 +165,15 @@ def _elim_kernel(
     w_hbm,    # (m_pad, kw, bt) uint32 — stays in HBM, DMA'd to scratch
     b_in,
     piv_in,
-    b_io,     # out — working state; VMEM out blocks start UNDEFINED on
-    piv_io,   # TPU, so they are explicitly seeded from the input refs
+    b_out,    # out (m_pad, B) in HBM — VMEM out blocks would be
+    piv_out,  # double-buffered (+2 x (m_pad, bt) words — the 18.6 MB OOM
+    #           at [[288]] DEM scale); working state lives in scratch and
+    #           is DMA'd out once at the end
     cnew_hbm,  # out (m_pad, kw, bt) in HBM — written word-by-word via DMA
     prow_ref,  # out (K, bt) int32, m_pad sentinel where no pivot
     w_io,     # VMEM scratch (m_pad, kw, bt) — the only W copy on chip
+    b_io,     # VMEM scratch (m_pad, bt) — working reduced syndrome
+    piv_io,   # VMEM scratch (m_pad, bt) — pivoted-row flags
     cw_scr,   # VMEM scratch (m_pad, bt) — current coefficient word
     w_sem,
     c_sem,
@@ -188,8 +192,6 @@ def _elim_kernel(
     lanes = pl.ds(i * bt, bt)
     dma = pltpu.make_async_copy(w_hbm.at[:, :, lanes], w_io, w_sem)
     dma.start()
-    # b/piv inputs are HBM-resident (saves their VMEM in-blocks): seed the
-    # aliased out blocks by DMA before any writeback can occur
     dma_b = pltpu.make_async_copy(b_in.at[:, lanes], b_io, c_sem)
     dma_b.start()
     dma_b.wait()
@@ -262,6 +264,12 @@ def _elim_kernel(
         out_dma.wait()
 
     prow_ref[:] = prow
+    dma_bo = pltpu.make_async_copy(b_io, b_out.at[:, lanes], c_sem)
+    dma_bo.start()
+    dma_bo.wait()
+    dma_po = pltpu.make_async_copy(piv_io, piv_out.at[:, lanes], w_sem)
+    dma_po.start()
+    dma_po.wait()
 
 
 # --------------------------------------------------------------------------
@@ -486,8 +494,8 @@ class FactoredEliminator:
                 pl.BlockSpec(memory_space=pltpu.ANY),  # piv — DMA'd in
             ],
             out_specs=(
-                full(m_pad, bt),
-                full(m_pad, bt),
+                pl.BlockSpec(memory_space=pltpu.HBM),  # DMA'd at the end
+                pl.BlockSpec(memory_space=pltpu.HBM),  # DMA'd at the end
                 pl.BlockSpec(memory_space=pltpu.HBM),  # DMA'd per word
                 full(K, bt),
             ),
@@ -500,10 +508,11 @@ class FactoredEliminator:
             scratch_shapes=[
                 pltpu.VMEM((m_pad, kw, bt), jnp.uint32),
                 pltpu.VMEM((m_pad, bt), jnp.uint32),
+                pltpu.VMEM((m_pad, bt), jnp.uint32),
+                pltpu.VMEM((m_pad, bt), jnp.uint32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ],
-            input_output_aliases={2: 0, 3: 1},
             interpret=ip,
         )
 
