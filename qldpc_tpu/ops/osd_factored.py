@@ -160,20 +160,40 @@ def _w_kernel(scur_ref, c_ref, y_ref, hb_ref, w_ref, *, mp, kw, bt, cwp):
 # --------------------------------------------------------------------------
 # kernel 3: VMEM-resident K-column panel elimination on [W | b]
 # --------------------------------------------------------------------------
+def _pack_rows(bits, epw, bt):
+    """Pack a {0,1} (epw*32, bt) plane into (epw, bt) uint32 row-words.
+    Bits are disjoint per word, so the int32-bitcast sum is an exact OR
+    (Mosaic lowers no unsigned reductions)."""
+    b3 = bits.reshape(epw, _WORD, bt) << jax.lax.broadcasted_iota(
+        jnp.uint32, (epw, _WORD, bt), 1
+    )
+    vi = jax.lax.bitcast_convert_type(b3, jnp.int32)
+    return jax.lax.bitcast_convert_type(
+        jnp.sum(vi, axis=1, dtype=jnp.int32), jnp.uint32
+    )
+
+
+def _unpack_rows(words, ep, bt):
+    """(ep//32, bt) uint32 row-words -> {0,1} (ep, bt) uint32 plane."""
+    epw = ep // _WORD
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (epw, _WORD, bt), 1)
+    return ((words[:, None, :] >> iota) & jnp.uint32(1)).reshape(ep, bt)
+
+
 def _elim_kernel(
     ids_ref,  # (K, bt) int32 original column ids (n sentinel on padding)
     w_hbm,    # (m_pad, kw, bt) uint32 — stays in HBM, DMA'd to scratch
-    b_in,
-    piv_in,
-    b_out,    # out (m_pad, B) in HBM — VMEM out blocks would be
-    piv_out,  # double-buffered (+2 x (m_pad, bt) words — the 18.6 MB OOM
-    #           at [[288]] DEM scale); working state lives in scratch and
-    #           is DMA'd out once at the end
+    b_in,     # (mw, B) row-PACKED reduced syndrome (bit r of word r//32)
+    piv_in,   # (mw, B) row-packed pivoted-row flags
+    b_out,    # out (mw, B) in HBM — working state lives in scratch and is
+    piv_out,  # DMA'd out once after the column loop (VMEM out blocks and
+    #           unpacked (m_pad, bt) row planes both blow the ~16 MB scoped
+    #           VMEM stack at [[288]] DEM scale: 18.62 MB measured)
     cnew_hbm,  # out (m_pad, kw, bt) in HBM — written word-by-word via DMA
     prow_ref,  # out (K, bt) int32, m_pad sentinel where no pivot
     w_io,     # VMEM scratch (m_pad, kw, bt) — the only W copy on chip
-    b_io,     # VMEM scratch (m_pad, bt) — working reduced syndrome
-    piv_io,   # VMEM scratch (m_pad, bt) — pivoted-row flags
+    b_io,     # VMEM scratch (mw, bt) — packed working reduced syndrome
+    piv_io,   # VMEM scratch (mw, bt) — packed pivoted-row flags
     cw_scr,   # VMEM scratch (m_pad, bt) — current coefficient word
     w_sem,
     c_sem,
@@ -182,12 +202,13 @@ def _elim_kernel(
     kw: int,
     bt: int,
     n: int,
-    ep: int,  # row-panel height: bounds one column step's live temps,
-    # which otherwise scale as several (m_pad, bt) arrays and blow the
-    # Mosaic VMEM stack past ~1.5k rows (measured at [[144,12,12]] scale)
+    ep: int,  # row-panel height (multiple of 32): bounds one column step's
+    # live temps, which otherwise scale as several (m_pad, bt) arrays and
+    # blow the Mosaic VMEM stack past ~1.5k rows (measured at [[144]] scale)
 ):
     K = kw * _WORD
     NP = m_pad // ep
+    epw = ep // _WORD
     i = pl.program_id(0)
     lanes = pl.ds(i * bt, bt)
     dma = pltpu.make_async_copy(w_hbm.at[:, :, lanes], w_io, w_sem)
@@ -202,6 +223,7 @@ def _elim_kernel(
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (K, bt), 0)
     prow = jnp.full((K, bt), m_pad, jnp.int32)
     rid_p = jax.lax.broadcasted_iota(jnp.int32, (ep, bt), 0)
+    rid_w = jax.lax.broadcasted_iota(jnp.int32, (epw, bt), 0)
 
     for w in range(kw):
         cw_scr[:] = jnp.zeros((m_pad, bt), jnp.uint32)
@@ -214,11 +236,10 @@ def _elim_kernel(
             # pass A: global first-candidate row (min over row panels)
             idx = jnp.full((1, bt), m_pad, jnp.int32)
             for p in range(NP):
-                r0 = p * ep
+                r0, r0w = p * ep, p * epw
                 bits = (w_io[r0:r0 + ep, w, :] >> i2u) & jnp.uint32(1)
-                cand = (
-                    (bits == 1) & (piv_io[r0:r0 + ep, :] == 0) & valid_col
-                )
+                pbits = _unpack_rows(piv_io[r0w:r0w + epw, :], ep, bt)
+                cand = (bits == 1) & (pbits == 0) & valid_col
                 idx = jnp.minimum(
                     idx,
                     jnp.min(jnp.where(cand, rid_p + r0, m_pad), axis=0,
@@ -227,20 +248,27 @@ def _elim_kernel(
             has = idx < m_pad
 
             # pass B: pivot row's W words + b bit (exactly one panel hits)
-            bp = jnp.zeros((1, bt), jnp.uint32)
+            idx_w = jax.lax.shift_right_logical(
+                idx, jnp.int32(5)
+            )  # pivot's row-word
+            bw_sel = jnp.zeros((1, bt), jnp.uint32)
             wps = [jnp.zeros((1, bt), jnp.uint32) for _ in range(kw)]
             for p in range(NP):
-                r0 = p * ep
+                r0, r0w = p * ep, p * epw
                 oh = (rid_p + r0) == idx
-                bp = bp ^ _select_sum(b_io[r0:r0 + ep, :], oh)
+                ohw = (rid_w + r0w) == idx_w
+                bw_sel = bw_sel ^ _select_sum(b_io[r0w:r0w + epw, :], ohw)
                 for ww in range(kw):
                     wps[ww] = wps[ww] ^ _select_sum(
                         w_io[r0:r0 + ep, ww, :], oh
                     )
+            bp = (
+                bw_sel >> (idx & 31).astype(jnp.uint32)
+            ) & jnp.uint32(1)  # (1, bt); no-pivot lanes select word 0 ^ 0
 
             # pass C: eliminate the bit everywhere else
             for p in range(NP):
-                r0 = p * ep
+                r0, r0w = p * ep, p * epw
                 bits = (w_io[r0:r0 + ep, w, :] >> i2u) & jnp.uint32(1)
                 oh = (rid_p + r0) == idx
                 elim = ((bits == 1) & ~oh & has).astype(jnp.uint32)
@@ -248,10 +276,12 @@ def _elim_kernel(
                     w_io[r0:r0 + ep, ww, :] = (
                         w_io[r0:r0 + ep, ww, :] ^ (elim * wps[ww])
                     )
-                b_io[r0:r0 + ep, :] = b_io[r0:r0 + ep, :] ^ (elim * bp)
-                piv_io[r0:r0 + ep, :] = (
-                    piv_io[r0:r0 + ep, :] | (oh & has).astype(jnp.uint32)
+                b_io[r0w:r0w + epw, :] = b_io[r0w:r0w + epw, :] ^ _pack_rows(
+                    elim * bp, epw, bt
                 )
+                piv_io[r0w:r0w + epw, :] = piv_io[
+                    r0w:r0w + epw, :
+                ] | _pack_rows((oh & has).astype(jnp.uint32), epw, bt)
                 cw_scr[r0:r0 + ep, :] = cw_scr[r0:r0 + ep, :] ^ (elim << i2u)
 
             return jnp.where(k_iota == j, idx, prow)
@@ -367,25 +397,39 @@ class FactoredEliminator:
         self.m, self.n = H.shape
         self.h_rank = int(h_rank)
         self.interpret = interpret
-        self.mp = 128  # kernel-2 row panel
+        # row panel for kernel 2 AND the elimination kernel; 256 keeps the
+        # packed b/piv row-words 8-sublane-aligned (epw = 256/32 = 8 — a
+        # smaller panel would slice packed rows at sub-8 offsets, which
+        # Mosaic's (8, 128) tiling rejects) while bounding per-column-step
+        # live temporaries
+        self.mp = 256
         self.m_pad = _round_up(self.m, self.mp)
         self.mw = self.m_pad // _WORD
         # VMEM fitting. The batch tile bt is the LANE (minor) dim of every
         # block, and Mosaic requires lane slices to stay 128-aligned
         # (bt = 64 fails to compile: "Slice shape along dimension 2 must be
         # aligned to tiling (128)") — so past-VMEM configurations shrink the
-        # column-block width K instead: the elimination kernel's dominant
-        # residents scale as m_pad * bt * (kw + 3) words. At [[288,12,18]]
-        # DEM scale (m_pad = 5248) K drops 128 -> 64 (13.4 MB); the
-        # [[144,12,12]] configuration keeps K = 128 (measured-compiling).
+        # column-block width K instead: the elimination kernel's VMEM
+        # residents are W (m_pad, kw, bt) + the cnew word (m_pad, bt) + the
+        # row-PACKED b/piv (mw, bt), and Mosaic's kernel stack adds ~5 MB
+        # of per-column-step temporaries on top (measured: 18.62 MB total
+        # at [[288]] with then-unpacked b/piv vs a 13.4 MB resident model).
+        # At [[288,12,18]] DEM scale K drops 128 -> 64; [[144,12,12]]
+        # keeps K = 128 (measured-compiling).
         bt = max(128, batch_tile // 128 * 128)
         self.bt = bt
+
+        def _elim_resident(k):
+            return (
+                self.m_pad * bt * 4 * (k // _WORD + 1)
+                + 2 * self.mw * bt * 4
+                + 2 * k * bt * 4
+            )
+
         K = 128
-        while K > 32:
-            if self.m_pad * bt * 4 * (K // _WORD + 3) + 2 * K * bt * 4 <= 15.5e6:
-                break
+        while K > 32 and _elim_resident(K) > 10.5e6:
             K //= 2
-        if self.m_pad * bt * 4 * (K // _WORD + 3) + 2 * K * bt * 4 > 17e6:
+        if _elim_resident(K) > 10.5e6:
             raise ValueError(
                 f"factored eliminator: m_pad={self.m_pad} cannot fit scoped "
                 "VMEM even at K=32; use the XLA 'lanes' backend"
@@ -421,12 +465,9 @@ class FactoredEliminator:
         ):
             sp4 //= 2
         self.sp4 = sp4
-        # elimination row panel: largest divisor of m_pad that is a
-        # multiple of 8 and <= 256 (bounds per-column-step live temps)
-        self.ep = max(
-            d for d in range(8, min(self.m_pad, 256) + 1, 8)
-            if self.m_pad % d == 0
-        )
+        # elimination row panel == mp (divides m_pad by construction;
+        # epw = 8 keeps packed-row slices sublane-aligned)
+        self.ep = self.mp
 
         Hp = np.pad(H, ((0, self.m_pad - self.m), (0, 0)))
         Ht = Hp.T.astype(np.uint32).reshape(self.n, self.mw, _WORD)
@@ -500,15 +541,15 @@ class FactoredEliminator:
                 full(K, bt),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((m_pad, B), jnp.uint32),
-                jax.ShapeDtypeStruct((m_pad, B), jnp.uint32),
+                jax.ShapeDtypeStruct((mw, B), jnp.uint32),
+                jax.ShapeDtypeStruct((mw, B), jnp.uint32),
                 jax.ShapeDtypeStruct((m_pad, kw, B), jnp.uint32),
                 jax.ShapeDtypeStruct((K, B), jnp.int32),
             ),
             scratch_shapes=[
                 pltpu.VMEM((m_pad, kw, bt), jnp.uint32),
-                pltpu.VMEM((m_pad, bt), jnp.uint32),
-                pltpu.VMEM((m_pad, bt), jnp.uint32),
+                pltpu.VMEM((mw, bt), jnp.uint32),
+                pltpu.VMEM((mw, bt), jnp.uint32),
                 pltpu.VMEM((m_pad, bt), jnp.uint32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
@@ -586,12 +627,23 @@ class FactoredEliminator:
         m_pad, K, kw, mw, cw = self.m_pad, self.K, self.kw, self.mw, self.cw
         y_prog, w_prog, elim_prog, res_prog = self._progs(Bp)
 
-        b0 = jnp.pad(resid, ((0, m_pad - self.m), (0, 0)))
+        # b/piv carry row-PACKED across blocks (bit r of word r//32): the
+        # elimination kernel keeps them packed in VMEM scratch, and the
+        # exit tests become word-wise ops
+        shifts = jnp.arange(_WORD, dtype=jnp.uint32)[None, :, None]
+        b0 = jnp.sum(
+            jnp.pad(resid, ((0, m_pad - self.m), (0, 0)))
+            .reshape(mw, _WORD, Bp)
+            .astype(jnp.uint32)
+            << shifts,
+            axis=1,
+            dtype=jnp.uint32,
+        )
         state = dict(
             P=jnp.zeros((self.s_max, mw, Bp), jnp.uint32),
             C=jnp.zeros((m_pad, cw, Bp), jnp.uint32),
             b=b0,
-            piv=jnp.zeros((m_pad, Bp), jnp.uint32),
+            piv=jnp.zeros((mw, Bp), jnp.uint32),
             piv_col=jnp.full((m_pad + 1, Bp), -1, jnp.int32),
             blk=jnp.int32(0),
         )
@@ -599,11 +651,11 @@ class FactoredEliminator:
         lane = jnp.arange(Bp)[None, :]
 
         def lane_done(st):
-            unres = jnp.max(
-                (st["b"] * (1 - st["piv"])).astype(jnp.int32), axis=0
+            unres = jnp.any((st["b"] & ~st["piv"]) != 0, axis=0)
+            rank = jnp.sum(
+                jax.lax.population_count(st["piv"]), axis=0, dtype=jnp.int32
             )
-            rank = jnp.sum(st["piv"], axis=0, dtype=jnp.int32)
-            return (unres == 0) | (rank >= self.h_rank)
+            return ~unres | (rank >= self.h_rank)
 
         def cond(st):
             return (st["blk"] < self.nb) & ~jnp.all(lane_done(st))
@@ -644,9 +696,15 @@ class FactoredEliminator:
 
         state = jax.lax.while_loop(cond, body, state)
         overflow = ~lane_done(state)
+        # unpack the packed b/piv back to {0,1}-per-row planes (the
+        # __call__ contract consumed by decoders/osd.py)
+        rows = jnp.arange(self.m)
+        sh = (rows & 31)[:, None].astype(jnp.uint32)
+        b_u = (state["b"][rows >> 5, :] >> sh) & jnp.uint32(1)
+        piv_u = (state["piv"][rows >> 5, :] >> sh) & jnp.uint32(1)
         return (
-            state["b"][: self.m],
-            state["piv"][: self.m],
+            b_u,
+            piv_u,
             state["piv_col"][: self.m],
             overflow,
         )
