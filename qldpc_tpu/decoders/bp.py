@@ -135,15 +135,20 @@ class BPDecoder:
                 g.check_slot_of_edge[np.minimum(g.var_edge, g.num_edges - 1)],
                 S,
             ).astype(np.int32)
-            self._var_edge = jnp.asarray(var_edge_slots)
-            self._var_of_edge = jnp.asarray(var_of_slot)
-            self._slot_mask = jnp.asarray(real)
+            self._var_edge = np.asarray(var_edge_slots)
+            self._var_of_edge = np.asarray(var_of_slot)
+            self._slot_mask = np.asarray(real)
         else:
-            self._var_edge = jnp.asarray(g.var_edge)
-            self._var_of_edge = jnp.asarray(g.var_of_edge)
-        # static device constants
-        self._check_edge = jnp.asarray(g.check_edge)
-        self._check_slot_of_edge = jnp.asarray(g.check_slot_of_edge)
+            self._var_edge = np.asarray(g.var_edge)
+            self._var_of_edge = np.asarray(g.var_of_edge)
+        # Static index tables stay HOST-side numpy: a jnp.asarray here pins
+        # them to the device, and jit lowering then embeds them as MLIR
+        # constants via a blocking device->host fetch — the FIRST such sync
+        # of a process pays the remote-TPU claim handshake (measured
+        # 40-355 s through the axon tunnel, round-4 bench killer). Numpy
+        # constants embed at trace time with zero device traffic.
+        self._check_edge = np.asarray(g.check_edge)
+        self._check_slot_of_edge = np.asarray(g.check_slot_of_edge)
         if config.schedule == "layered":
             if config.backend == "pallas" and g.check_regular:
                 self.decode_fn = self._build_pallas()
