@@ -24,9 +24,13 @@ Robustness notes (round-5 redesign after the round-4 deadline miss):
   host-side numpy so jit lowering never blocks on a device fetch (that
   coupling is what turned round-4 lowering into a 44-355 s phase), and
   (c) prints per-phase timestamps on stderr for post-mortems.
-* The parent runs the primary under ``BENCH_DEADLINE`` (default 600 s —
-  sized to the claim-latency distribution observed this round: 44, 55,
-  84, 113, 280, 355, >397 s)
+* The parent runs the primary under ``BENCH_DEADLINE`` (default 900 s).
+  The claim can take arbitrarily long: it queues behind whichever
+  process currently holds the shared chip (measured this round: 0.3 s
+  right after another local process released, 44-355 s in quiet windows,
+  and unbounded while a long study holds the device) — so the deadline
+  buys claim-wait at zero marginal cost (the fallback number is already
+  in hand ~90 s in), bounded only by the driver's patience.
   while a cheap CPU-backend fallback measurement runs CONCURRENTLY in a
   second process, so a deadline miss costs ~0 extra wall: whichever
   number exists at the deadline is printed. A primary that crashes early
@@ -223,7 +227,7 @@ def main() -> None:
         print(_emit_line(value, "_cpu_fallback"), flush=True)
         return
 
-    deadline = float(os.environ.get("BENCH_DEADLINE", 600))
+    deadline = float(os.environ.get("BENCH_DEADLINE", 900))
     me = os.path.abspath(__file__)
     primary = _Child([sys.executable, me, "--primary"], "primary")
     fallback = _Child([sys.executable, me, "--fallback-inline"], "fallback")

@@ -699,7 +699,7 @@ class OSDDecoder:
             # column coordinates, so the correction scatters directly
             # (no permuted intermediate). Solution-level bit parity with
             # _eliminate_lanes_T is pinned by tests/test_osd_factored.py.
-            bv, _piv, piv_col, _overflow = self._factored(
+            bv, _piv, piv_col, overflow = self._factored(
                 order, resid.T.astype(jnp.uint32)
             )
             b_bt = bv.T  # (B, m)
@@ -710,6 +710,14 @@ class OSDDecoder:
                 jnp.zeros((B, n + 1), jnp.uint32).at[bidx, tgt].set(b_bt)[:, :n]
             )
             sol = ((hard + corr.astype(jnp.int32)) % 2).astype(jnp.int8)
+            # A lane that exhausted the eliminator's column budget holds an
+            # untrustworthy partial solve. Returning ``hard`` unchanged
+            # leaves its syndrome unresolved, so the engine classifies it
+            # as a decode failure instead of silently accepting a wrong
+            # correction (the budget auto-raise makes this unreachable on
+            # the measured codes — rank+512 vs ~150 observed b-exit slack —
+            # but a new code/noise point must fail loudly, not quietly).
+            sol = jnp.where(overflow[:, None], hard.astype(jnp.int8), sol)
             return order, None, b_bt, piv_bt, sol
         if self._use_transform:
             # Per-lane combined exit (exact for EVERY order): a lane stops

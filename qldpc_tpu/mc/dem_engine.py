@@ -97,6 +97,25 @@ class DEMEngine(MonteCarloEngine):
         vos_p, dcp_p = parity_tables(dem.H)
         self._vos_parity = jnp.asarray(vos_p)
         self._dcp_parity = dcp_p
+        # Measured remote-compile crash envelope (results/bench_circuit144_r4.json,
+        # both e2e_B1024 cells): the fused engine program with >= 1024 lanes
+        # per device over a >= [[144,12,12]]-scale slot space (~546k slots)
+        # crashes the TPU compile helper after ~2 min. B=512/640 is the
+        # measured-good region; the streamed-kernel scaling profile shows
+        # B>1024 is also ~25% slower per sample, so nothing is lost.
+        if (
+            config.bp.backend == "pallas"
+            and self.local_batch >= 1024
+            and self.m_checks * dcp_p >= 500_000
+        ):
+            raise ValueError(
+                f"batch_size {config.batch_size} ({self.local_batch}/device) "
+                f"over a {self.m_checks * dcp_p}-slot DEM is beyond the "
+                "measured TPU compile envelope (B>=1024 engine programs "
+                "crash the remote compile helper at [[144,12,12]] DEM "
+                "scale; results/bench_circuit144_r4.json). Use "
+                "batch_size<=640 per device for DEMs this large."
+            )
         self._Lf = jnp.asarray(dem.L, jnp.float32)
         self._alpha_traceable = config.bp.backend != "pallas"
         # DEMs have the largest RNG strides (one uniform per mechanism), so

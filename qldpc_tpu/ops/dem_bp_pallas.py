@@ -187,6 +187,20 @@ class DEMPallasBPKernel:
             check_chunk -= 8
         self._ck = ck = check_chunk
         self._nchunks = m_pad // ck
+        # Measured TPU compile-crash envelope (results/bench_circuit144_r4.json,
+        # all four ck16 cells): a (ck*dcp, bt) gathered chunk panel of >= 5120
+        # rows at >= [[144,12,12]]-scale slot space reliably kills the Mosaic
+        # compiler (remote-compile helper HTTP 500 after ~2 min). Fail fast
+        # with the known bound instead.
+        if not interpret and ck * dcp >= 5120 and m_pad * dcp >= 500_000:
+            raise ValueError(
+                f"check_chunk={ck} with dc_pad={dcp} gives a {ck * dcp}-row "
+                f"chunk panel over a {m_pad * dcp}-slot space — beyond the "
+                "measured TPU compile envelope (ck=16 crashes the Mosaic "
+                "compiler at [[144,12,12]] DEM scale; "
+                "results/bench_circuit144_r4.json). Use check_chunk<=8 "
+                "(ck*dc_pad<=2560 is the measured-good region)."
+            )
         self._n_pad = n_pad = _round_up(n + 1, 8)  # >= 1 BIG-pinned pad row
         self._m, self._n = m, n
         self._m_pad = m_pad

@@ -448,6 +448,38 @@ class FactoredEliminator:
         self.s_max = s_max
         self.cw = cw = s_max // _WORD
         self.cwp = 32 if (cw > 32 and cw % 32 == 0) else cw
+        # kernel 2 (w_prog) residents: double-buffered (mp, cwp, bt) C
+        # panels + the full (s_max, kw, bt) Y block + the (mp, kw, bt)
+        # output panel. The measured-compiling configs sit at 15.2 MB
+        # ([[288]] DEM) / 15.7 MB ([[144]] DEM), so 16 MB is the
+        # demonstrated envelope; s_max grows with the caller's rank+slack
+        # budget, so a larger DEM would otherwise die deep in Mosaic with
+        # an opaque VMEM error (round-4 ADVICE item 2). Shrink the C-panel
+        # width first, then the column-block K, and fail descriptively if
+        # neither fits.
+        def _w_resident():
+            return (
+                2 * self.mp * self.cwp * self.bt * 4
+                + self.s_max * (self.K // _WORD) * self.bt * 4
+                + 2 * self.mp * (self.K // _WORD) * self.bt * 4
+            )
+
+        while _w_resident() > 16.0e6 and self.cwp > 8 and self.cwp % 2 == 0 \
+                and cw % (self.cwp // 2) == 0:
+            self.cwp //= 2
+        while _w_resident() > 16.0e6 and self.K > 32:
+            self.K //= 2
+        K = self.K
+        self.kw = K // _WORD
+        self.nb = _round_up(ncols, K) // K  # K divides 1024, s_max stays valid
+        if _w_resident() > 16.0e6:
+            raise ValueError(
+                f"factored eliminator: kernel-2 residents "
+                f"{_w_resident() / 1e6:.1f} MB (s_max={self.s_max}, "
+                f"K={self.K}, cwp={self.cwp}) exceed the 16 MB VMEM "
+                "envelope even at minimum tile sizes; use the XLA 'lanes' "
+                "backend for this system"
+            )
         # kernels 1 and 4 stream P in sp-row panels sized to their own
         # VMEM residents (kernel 4 additionally holds the (K, cw, bt)
         # gathered-C rows and the (K, mw, bt) accumulator)
