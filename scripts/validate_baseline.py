@@ -219,6 +219,47 @@ WORKLOADS = {
 }
 
 
+# (workload, code, grid_idx) cells allowed to pass while strictly below the
+# archive WITHOUT an oracle recheck (OSD-e workloads, where a per-sample
+# numpy oracle realization is impractical). Currently empty: no archived
+# validation run has produced a BETTER cell on an OSD workload.
+BETTER_ALLOWLIST: set[tuple[str, str, int]] = set()
+
+
+def oracle_recheck_bp(code, p, metric, bp_kwargs, trials, seed):
+    """Independent numpy Monte-Carlo realization of one BP-only
+    code-capacity cell: own sampler, the float64 dense oracle decoder
+    (tests/oracles.py — reference formulation), own classification.
+
+    Used to gate 'BETTER' cells (round-4 advisor): a cell where the engine
+    is strictly below the archive passes only if this independent pipeline
+    reproduces the engine's LER within bars — so an undercounting bug
+    (broken classification, too-easy sampler) cannot masquerade as a
+    quality win.
+    """
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+    from oracles import bp_sum_product
+
+    H = np.asarray(code.Hx) % 2
+    L = np.asarray(code.Lx) % 2
+    n = H.shape[1]
+    prior = float(np.log((1 - p) / p))
+    rng = np.random.default_rng(seed)
+    faults = resid_log = log_or = 0
+    for _ in range(trials):
+        e = (rng.random(n) < p).astype(np.int8)
+        s = (H @ e) % 2
+        hard, conv, _, _ = bp_sum_product(H, s, prior, **bp_kwargs)
+        residual = (hard.astype(np.int64) ^ e.astype(np.int64))
+        lres = bool(((L @ residual) % 2).any())
+        faults += int(not conv)
+        resid_log += int(lres)
+        log_or += int((not conv) or lres)
+    if metric == "ler_notebook":
+        return (faults + resid_log) / trials
+    return log_or / trials
+
+
 def run(trials, batch_size, out_dir, codes, workloads=None):
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -254,8 +295,32 @@ def run(trials, batch_size, out_dir, codes, workloads=None):
                 # quality difference, not an error (the [[288]] CC-50k cells
                 # sit 1.4-3x above ours; our own f32/f64/reference-form
                 # implementations agree to <=6.7% there — bp_sensitivity).
-                # Recorded visibly as 'better', never silently folded into ok.
+                # Round-4 advisor: accepting ANY got<ref makes the gate
+                # one-sided (an undercounting bug would read as 'better'),
+                # so a BETTER cell must now be CONFIRMED by an independent
+                # oracle realization (BP-only cells) or an explicit
+                # allowlist entry; unconfirmed cells count as failures.
                 better = (not ok) and w["rel"] > 0 and got < ref_ler
+                if better:
+                    if w["osd"] is None and w["channel"] == "code-capacity":
+                        n_check = min(2000, trials)
+                        oracle = oracle_recheck_bp(
+                            get_code(code_name), p, metric, w["bp"],
+                            n_check, seed=7_000 + idx,
+                        )
+                        o_tol = bars(
+                            oracle, n_check, got, trials, rel=w["rel"]
+                        )
+                        confirmed = abs(oracle - got) <= o_tol
+                        print(
+                            f"  better-cell oracle recheck: oracle={oracle:.5g}"
+                            f" ({n_check} trials) got={got:.5g} tol={o_tol:.4f}"
+                            f" -> {'CONFIRMED' if confirmed else 'UNCONFIRMED'}",
+                            flush=True,
+                        )
+                        better = confirmed
+                    else:
+                        better = (workload, code_name, idx) in BETTER_ALLOWLIST
                 fails += 0 if (ok or better) else 1
                 status = "OK" if ok else ("BETTER" if better else "MISMATCH")
                 rows.append(
