@@ -482,19 +482,41 @@ class FactoredEliminator:
             )
         # kernels 1 and 4 stream P in sp-row panels sized to their own
         # VMEM residents (kernel 4 additionally holds the (K, cw, bt)
-        # gathered-C rows and the (K, mw, bt) accumulator)
+        # gathered-C rows and the (K, mw, bt) accumulator). Kernel 4's
+        # MEASURED Mosaic stack overhead is ~3.5 MB beyond the resident
+        # model (the round-5 [[288]] run: 18.14 M actual vs 14.65 M
+        # modeled, a 2.14 M scoped-VMEM overflow at the 15 MB budget that
+        # killed the study) — so its budget is 12 MB, with a K-shrink
+        # fallback when even the minimum 8-row panel cannot fit. At
+        # [[144,12,12]] DEM scale this keeps K=128 (fixed part 10.3 MB)
+        # and only narrows the P panel 64 -> 16 rows; at [[288,12,18]] it
+        # drops K 64 -> 32 (fixed part 11.9 -> 5.9 MB).
+        def _k4_resident(k, rows):
+            return (
+                k * bt * 4 * (self.mw + cw + k // _WORD + 1)
+                + 2 * rows * self.mw * bt * 4
+            )
+
+        while self.K > 32 and _k4_resident(self.K, 8) > 12.0e6:
+            self.K //= 2
+        K = self.K
+        self.kw = K // _WORD
+        self.nb = _round_up(ncols, K) // K
+        if _k4_resident(K, 8) > 12.0e6:
+            raise ValueError(
+                f"factored eliminator: kernel-4 residents "
+                f"{_k4_resident(K, 8) / 1e6:.1f} MB at K=32 exceed the "
+                "12 MB budget (16 MB VMEM minus the ~3.5 MB measured "
+                "Mosaic stack overhead); use the XLA 'lanes' backend"
+            )
         sp = 128
         while sp > 8 and (
-            K * self.mw * bt * 4 + 2 * sp * self.mw * bt * 4 > 15.0e6
+            K * self.mw * bt * 4 + 2 * sp * self.mw * bt * 4 > 12.0e6
         ):
             sp //= 2
         self.sp = sp
         sp4 = 128
-        while sp4 > 8 and (
-            K * bt * 4 * (self.mw + cw + self.kw + 1)
-            + 2 * sp4 * self.mw * bt * 4
-            > 15.0e6
-        ):
+        while sp4 > 8 and _k4_resident(K, sp4) > 12.0e6:
             sp4 //= 2
         self.sp4 = sp4
         # elimination row panel == mp (divides m_pad by construction;
