@@ -87,10 +87,17 @@ def _measure(
     H = code.Hx
     p = 0.01
 
+    mm_dtype = os.environ.get("BENCH_MM_DTYPE", "float32")
     if backend == "pallas":
         # bt=128 is the measured-best tile at p=0.01 (results/autotune_tile.json:
         # small tiles let the whole-tile early exit fire sooner at low p)
-        dec = BPDecoder(H, BPConfig(max_iter=50, backend="pallas", batch_tile=128))
+        dec = BPDecoder(
+            H,
+            BPConfig(
+                max_iter=50, backend="pallas", batch_tile=128,
+                mm_dtype=mm_dtype,
+            ),
+        )
         if fixed_iterations:
             # raw-kernel figure: whole-tile early exit disabled, every lane
             # pays all 50 iterations (per-lane freeze still applies, so
@@ -100,7 +107,8 @@ def _measure(
             from qldpc_tpu.ops.bp_pallas import PallasBPKernel
 
             kernel = PallasBPKernel(
-                dec.graph, max_iter=50, batch_tile=128, early_exit=False
+                dec.graph, max_iter=50, batch_tile=128, early_exit=False,
+                mm_dtype=mm_dtype,
             )
 
             def decode_fn(s, prior_):
@@ -216,10 +224,10 @@ def main() -> None:
             reps=int(os.environ.get("BENCH_REPS", 4)),
             fixed_iterations=bool(os.environ.get("BENCH_FIXED_ITER")),
         )
-        print(
-            _emit_line(value, "_fixed50" if os.environ.get("BENCH_FIXED_ITER") else ""),
-            flush=True,
-        )
+        suffix = "_fixed50" if os.environ.get("BENCH_FIXED_ITER") else ""
+        if os.environ.get("BENCH_MM_DTYPE") == "bfloat16":
+            suffix += "_bf16"
+        print(_emit_line(value, suffix), flush=True)
         return
 
     if "--fallback-inline" in sys.argv or os.environ.get("BENCH_FORCE_FALLBACK"):

@@ -69,6 +69,13 @@ class BPConfig:
     # compute stays f32 in-kernel, decisions no longer bit-match XLA
     # (256, or ops.bp_pallas.recommended_batch_tile(p) where the caller
     # knows the target error rate — see experiments/runners.py)
+    mm_dtype: str = "float32"  # fused VMEM kernel only: MXU matmul operand
+    # dtype ("float32" | "bfloat16"). The kernel is MXU-bound
+    # (docs/bp_roofline.md) and its one-hot tables are exact 0/1 in bf16;
+    # bf16 operands run the matmuls ~4x faster, VPU math and accumulation
+    # stay f32, convergence detection stays exact. Messages round to bf16
+    # at the matmul boundaries, so decisions no longer bit-match the XLA
+    # path — LER-validated before any default flip (docs/bp_roofline.md)
 
     def __post_init__(self):
         if self.method not in ("sum-product", "min-sum"):
@@ -90,6 +97,15 @@ class BPConfig:
             raise ValueError(
                 "stream_dtype applies only to the pallas backend's streamed "
                 "DEM kernel (irregular graphs)"
+            )
+        if self.mm_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown mm_dtype {self.mm_dtype!r}")
+        if self.mm_dtype != "float32" and (
+            self.backend != "pallas" or self.schedule != "flooding"
+        ):
+            raise ValueError(
+                "mm_dtype applies only to the pallas backend's fused "
+                "flooding kernel (regular graphs)"
             )
 
 
@@ -533,6 +549,12 @@ class BPDecoder:
                 and cfg.schedule != "layered"
                 and cfg.damping == 1.0
             ):
+                if cfg.mm_dtype != "float32":
+                    raise ValueError(
+                        "mm_dtype applies to the fused VMEM kernel only; "
+                        "irregular graphs use the streamed DEM kernel "
+                        "(stream_dtype is its bf16 knob)"
+                    )
                 return self._build_dem_pallas()
             import warnings
 
@@ -568,6 +590,7 @@ class BPDecoder:
             schedule=cfg.schedule,
             n_layers=cfg.n_layers,
             interpret=jax.default_backend() == "cpu",
+            mm_dtype=cfg.mm_dtype,
         )
 
         def decode(

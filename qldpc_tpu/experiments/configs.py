@@ -52,6 +52,8 @@ class ExperimentSpec:
     bp_backend: str = "xla"  # "xla" | "pallas"
     bp_batch_tile: int = 0  # pallas tile; 0 = auto from the rate grid
     bp_stream_dtype: str = "float32"  # streamed DEM kernel: "bfloat16"
+    bp_mm_dtype: str = "float32"  # fused VMEM kernel MXU operands:
+    # "bfloat16" runs the one-hot matmuls ~4x faster (decoders/bp.py)
     # halves HBM message traffic (compute stays f32); see BPConfig
     osd_backend: str = "auto"  # "auto" | "lanes" | "vmap" | "pallas"
     osd_fraction: float = 1.0

@@ -49,6 +49,7 @@ def _bp_config(
         backend=spec.bp_backend,
         batch_tile=batch_tile,
         stream_dtype=spec.bp_stream_dtype,
+        mm_dtype=spec.bp_mm_dtype,
     )
 
 

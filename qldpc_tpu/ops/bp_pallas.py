@@ -280,13 +280,25 @@ def _bp_kernel(
     damping: float,
     clip_llr: float | None,
     early_exit: bool = True,
+    mm_bf16: bool = False,
 ):
     Ep = dc * m
     ssign = 1.0 - 2.0 * syn_ref[:]  # (m, BT)
 
+    # bf16-MXU mode (docs/bp_roofline.md: the kernel is MXU-bound at 84%
+    # of the f32 roofline, and the one-hot tables are EXACT 0/1 in bf16):
+    # matmul data operands round to bf16, accumulation stays f32
+    # (preferred_element_type), all VPU message math stays f32. The
+    # syndrome check stays exact — hard decisions are 0/1 (exact in bf16)
+    # and the f32 accumulator holds integer counts < 2^24 exactly — so
+    # convergence detection semantics are unchanged; only message rounding
+    # differs (same trade as the DEM kernel's stream_dtype="bfloat16").
+    mm = jnp.bfloat16 if mm_bf16 else jnp.float32
+    cast = lambda x: x.astype(mm)
+
     # init: Q = prior at each real edge (phantom slots pinned to BIG)
     prior_edges = jnp.dot(
-        mev_ref[:], priors_ref[:], preferred_element_type=jnp.float32
+        mev_ref[:], cast(priors_ref[:]), preferred_element_type=jnp.float32
     )  # (Ep, BT)
     q0 = jnp.where(mask_ref[:] > 0, prior_edges, _BIG)
     q_ref[:] = q0.reshape(dc, m, bt)
@@ -344,10 +356,12 @@ def _bp_kernel(
             r_flat = r_flat * mask_ref[:]  # zero phantom contributions
 
             # ---- variable update: two one-hot MXU matmuls -------------------
-            r_sum = jnp.dot(mve_ref[:], r_flat, preferred_element_type=jnp.float32)
+            r_sum = jnp.dot(
+                mve_ref[:], cast(r_flat), preferred_element_type=jnp.float32
+            )
             values = r_sum + priors_ref[:]  # (n, BT)
             v_edges = jnp.dot(
-                mev_ref[:], values, preferred_element_type=jnp.float32
+                mev_ref[:], cast(values), preferred_element_type=jnp.float32
             )
             q_new = v_edges - r_flat
             if damping != 1.0:
@@ -359,7 +373,7 @@ def _bp_kernel(
             q_ref[:] = q_new.reshape(dc, m, bt)
 
             # ---- hard decision + syndrome check on MXU ----------------------
-            hard = (values < 0).astype(jnp.float32)
+            hard = (values < 0).astype(mm)  # 0/1: exact in bf16
             counts = jnp.dot(h_ref[:], hard, preferred_element_type=jnp.float32)
             parity = counts - 2.0 * jnp.floor(counts * 0.5)
             eq = (parity == syn_ref[:]).astype(jnp.float32)
@@ -410,10 +424,17 @@ class PallasBPKernel:
         n_layers: int = 0,
         interpret: bool = False,
         early_exit: bool = True,
+        mm_dtype: str = "float32",
     ):
         self.graph = graph
         self.batch_tile = batch_tile
         self.schedule = schedule
+        if mm_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown mm_dtype {mm_dtype!r}")
+        if mm_dtype != "float32" and schedule == "layered":
+            raise ValueError("mm_dtype=bfloat16 supports the flooding "
+                             "schedule only")
+        self.mm_dtype = mm_dtype
         m, n, dc = graph.m, graph.n, graph.dc_max
         Ep = dc * m
 
@@ -452,6 +473,7 @@ class PallasBPKernel:
                 damping=damping,
                 clip_llr=clip_llr,
                 early_exit=early_exit,
+                mm_bf16=mm_dtype == "bfloat16",
             )
 
         # pallas_call grids are static; built lazily per batch size
@@ -525,10 +547,13 @@ class PallasBPKernel:
                 jnp.asarray(t.H),
             )
         else:
+            # bf16-MXU mode: the one-hot tables and H are exact 0/1 in
+            # bf16, so casting them is lossless and halves their VMEM
+            mm = jnp.bfloat16 if self.mm_dtype == "bfloat16" else jnp.float32
             operands = (
-                jnp.asarray(t.M_ve),
-                jnp.asarray(t.M_ev),
-                jnp.asarray(t.H),
+                jnp.asarray(t.M_ve, mm),
+                jnp.asarray(t.M_ev, mm),
+                jnp.asarray(t.H, mm),
                 jnp.asarray(t.mask),
             )
         values_t, conv_t, iters_t = self._built(n_tiles)(

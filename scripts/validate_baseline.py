@@ -260,7 +260,8 @@ def oracle_recheck_bp(code, p, metric, bp_kwargs, trials, seed):
     return log_or / trials
 
 
-def run(trials, batch_size, out_dir, codes, workloads=None):
+def run(trials, batch_size, out_dir, codes, workloads=None,
+        mm_dtype="float32"):
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     rows = []
@@ -276,7 +277,8 @@ def run(trials, batch_size, out_dir, codes, workloads=None):
             eng = MonteCarloEngine(
                 get_code(code_name),
                 EngineConfig(
-                    bp=BPConfig(backend="pallas", batch_tile=512, **w["bp"]),
+                    bp=BPConfig(backend="pallas", batch_tile=512,
+                                mm_dtype=mm_dtype, **w["bp"]),
                     osd=w["osd"],
                     channel=w["channel"],
                     batch_size=batch_size,
@@ -367,7 +369,11 @@ if __name__ == "__main__":
     ap.add_argument("--codes", nargs="+", default=list(BPOSD_REF))
     ap.add_argument("--workloads", nargs="+", default=None,
                     help=f"subset of {list(WORKLOADS)}; default all")
+    ap.add_argument("--mm-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="fused-kernel MXU operand dtype (bf16 validation)")
     a = ap.parse_args()
     raise SystemExit(
-        min(run(a.trials, a.batch_size, a.out, a.codes, a.workloads), 1)
+        min(run(a.trials, a.batch_size, a.out, a.codes, a.workloads,
+                mm_dtype=a.mm_dtype), 1)
     )

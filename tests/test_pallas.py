@@ -154,3 +154,40 @@ def test_pallas_falls_back_on_unsupported_config(rng):
     prior = np.full(Hst.shape[1], np.log(0.999 / 0.001), np.float32)
     res = dec(syn, prior)
     assert np.asarray(res.hard).shape == (8, Hst.shape[1])
+
+
+def test_pallas_mm_bf16_valid_and_close(rng):
+    """bf16-MXU mode: decisions need not bit-match f32 (messages round at
+    the matmul boundaries), but convergence detection is EXACT — every
+    converged lane's hard decision must reproduce its syndrome — and the
+    convergence rate must sit within a few lanes of the f32 kernel."""
+    code = get_code("[[72, 12, 6]]")
+    H = code.Hx
+    syn = sample(rng, H, 0.05, batch=256)
+    prior = np.full(code.n, np.log(0.95 / 0.05), np.float32)
+    f32 = BPDecoder(
+        H, BPConfig(max_iter=25, backend="pallas", batch_tile=128)
+    )(syn, prior)
+    b16 = BPDecoder(
+        H,
+        BPConfig(
+            max_iter=25, backend="pallas", batch_tile=128,
+            mm_dtype="bfloat16",
+        ),
+    )(syn, prior)
+    conv = np.asarray(b16.converged)
+    hard = np.asarray(b16.hard)
+    resid = (hard @ H.T) % 2
+    np.testing.assert_array_equal(resid[conv], np.asarray(syn)[conv])
+    assert abs(int(conv.sum()) - int(np.asarray(f32.converged).sum())) <= 8
+
+
+def test_mm_dtype_config_guards():
+    code = get_code("[[72, 12, 6]]")
+    with pytest.raises(ValueError, match="mm_dtype"):
+        BPConfig(max_iter=10, mm_dtype="bfloat16")  # xla backend
+    with pytest.raises(ValueError, match="mm_dtype"):
+        BPConfig(
+            max_iter=10, backend="pallas", schedule="layered",
+            mm_dtype="bfloat16",
+        )
