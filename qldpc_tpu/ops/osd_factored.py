@@ -483,31 +483,38 @@ class FactoredEliminator:
         # kernels 1 and 4 stream P in sp-row panels sized to their own
         # VMEM residents (kernel 4 additionally holds the (K, cw, bt)
         # gathered-C rows and the (K, mw, bt) accumulator). Kernel 4's
-        # MEASURED Mosaic stack overhead is ~3.5 MB beyond the resident
-        # model (the round-5 [[288]] run: 18.14 M actual vs 14.65 M
-        # modeled, a 2.14 M scoped-VMEM overflow at the 15 MB budget that
-        # killed the study) — so its budget is 12 MB, with a K-shrink
-        # fallback when even the minimum 8-row panel cannot fit. At
-        # [[144,12,12]] DEM scale this keeps K=128 (fixed part 10.3 MB)
-        # and only narrows the P panel 64 -> 16 rows; at [[288,12,18]] it
-        # drops K 64 -> 32 (fixed part 11.9 -> 5.9 MB).
+        # Mosaic stack overhead beyond the resident model is SHAPE-
+        # DEPENDENT — measured: <= 2.04 MB at [[144]] (13.96 M modeled
+        # compiled at the 16 M limit, round-4 375 ms config) but 3.49 MB
+        # at [[288]] (14.65 M modeled -> 18.14 M actual, the scoped-VMEM
+        # overflow that killed the round-5 study). Model it as
+        # max(2 MB, 48*mw*bt*4) — linear in the packed row-word count,
+        # 4.13 MB >= the 3.49 MB measured at [[288]]'s mw=168 — and
+        # budget 16 MB minus that. This RESTORES the measured-fast
+        # [[144]] config (K=128, sp4=64; a narrower P panel re-reads the
+        # C-gather block per panel step and measured 2.4x slower overall)
+        # while [[288]] drops K 64 -> 32 (fixed part 11.9 -> 5.9 MB) and
+        # compiles. A K-shrink fallback covers shapes where even the
+        # minimum 8-row panel cannot fit.
         def _k4_resident(k, rows):
             return (
                 k * bt * 4 * (self.mw + cw + k // _WORD + 1)
                 + 2 * rows * self.mw * bt * 4
             )
 
-        while self.K > 32 and _k4_resident(self.K, 8) > 12.0e6:
+        budget4 = 16.0e6 - max(2.0e6, 48 * self.mw * bt * 4)
+        while self.K > 32 and _k4_resident(self.K, 8) > budget4:
             self.K //= 2
         K = self.K
         self.kw = K // _WORD
         self.nb = _round_up(ncols, K) // K
-        if _k4_resident(K, 8) > 12.0e6:
+        if _k4_resident(K, 8) > budget4:
             raise ValueError(
                 f"factored eliminator: kernel-4 residents "
                 f"{_k4_resident(K, 8) / 1e6:.1f} MB at K=32 exceed the "
-                "12 MB budget (16 MB VMEM minus the ~3.5 MB measured "
-                "Mosaic stack overhead); use the XLA 'lanes' backend"
+                f"{budget4 / 1e6:.1f} MB budget (16 MB VMEM minus the "
+                "shape-dependent Mosaic stack overhead); use the XLA "
+                "'lanes' backend"
             )
         sp = 128
         while sp > 8 and (
@@ -516,7 +523,7 @@ class FactoredEliminator:
             sp //= 2
         self.sp = sp
         sp4 = 128
-        while sp4 > 8 and _k4_resident(K, sp4) > 12.0e6:
+        while sp4 > 8 and _k4_resident(K, sp4) > budget4:
             sp4 //= 2
         self.sp4 = sp4
         # elimination row panel == mp (divides m_pad by construction;
